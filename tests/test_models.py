@@ -1,0 +1,138 @@
+"""Shape/sanity tests for the model stack on tiny configurations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coin_tpu.models.anchors import grid_anchors, cell_anchors
+from coin_tpu.models.detector import OpenVocabularyRCNN
+from coin_tpu.models.ckg import CKGNet
+from coin_tpu.models import rpn as rpn_lib
+from coin_tpu.models import roi_heads as rh
+from coin_tpu.structures import Detections
+
+
+def tiny_model():
+    return OpenVocabularyRCNN(num_classes=3, depth=50, text_layers=2,
+                              text_width=64, text_heads=2)
+
+
+def test_anchor_generation_matches_d2_formula():
+    a = cell_anchors((32,), (1.0,))
+    np.testing.assert_allclose(a, [[-16, -16, 16, 16]])
+    g = grid_anchors(2, 3, stride=16, sizes=(32,), ratios=(1.0,))
+    assert g.shape == (6, 4)
+    # g[1] is at (y=0, x=1)
+    np.testing.assert_allclose(
+        g[1], np.array([-16, -16, 16, 16]) + np.array([16, 0, 16, 0]))
+    # row-major order: anchor 3 is at (y=1, x=0)
+    np.testing.assert_allclose(
+        g[3], np.array([-16, -16, 16, 16]) + np.array([0, 16, 0, 16]))
+
+
+@pytest.mark.slow
+def test_full_forward_shapes(rng):
+    model = tiny_model()
+    images = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    tokens = jnp.asarray(rng.randint(1, 100, (4, 77)).astype(np.int32))
+    rois = jnp.asarray(rng.uniform(0, 60, (2, 8, 4)).astype(np.float32))
+    rois = rois.at[..., 2:].add(8.0)
+    params = model.init(jax.random.key(0), images, tokens, rois)
+    out = model.apply(params, images, tokens, rois)
+    hw = (64 // 16) * (96 // 16) * 15
+    assert out["objectness"].shape == (2, hw)
+    assert out["rpn_deltas"].shape == (2, hw, 4)
+    assert out["scores"].shape == (2, 8, 4)      # C+1 = 4
+    assert out["deltas"].shape == (2, 8, 4)
+
+
+def test_rpn_labeling_and_losses(rng):
+    anchors = jnp.asarray(grid_anchors(4, 4, 16))
+    r = anchors.shape[0]
+    gt_a = Detections.from_numpy(
+        np.array([[8.0, 8.0, 40.0, 40.0]]), np.ones(1), np.zeros(1), 8)
+    gt_c = Detections.from_numpy(
+        np.array([[30.0, 30.0, 62.0, 62.0]]), np.ones(1), np.zeros(1), 8,
+        probs=np.array([[0.7, 0.1, 0.2]]))
+    tg = rpn_lib.label_anchors_single(anchors, gt_a, gt_c,
+                                      jax.random.key(0), batch_size=64)
+    assert tg.labels.shape == (r,)
+    assert int(jnp.sum(tg.labels == 1)) > 0
+    # batched loss: wrap with leading dim
+    batched = jax.tree.map(lambda x: x[None], tg)
+    losses = rpn_lib.rpn_losses(
+        anchors, jnp.zeros((1, r)), jnp.zeros((1, r, 4)), batched,
+        batch_size=64, with_distillation=True)
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    assert "loss_rpn_distillation" in losses
+
+
+def test_predict_proposals_shapes(rng):
+    anchors = jnp.asarray(grid_anchors(4, 4, 16))
+    r = anchors.shape[0]
+    obj = jnp.asarray(rng.randn(2, r).astype(np.float32))
+    deltas = jnp.zeros((2, r, 4))
+    hw = jnp.asarray([[64, 64], [60, 60]], jnp.float32)
+    props = rpn_lib.predict_proposals(anchors, obj, deltas, hw,
+                                      pre_nms_topk=64, post_nms_topk=16)
+    assert props.boxes.shape == (2, 16, 4)
+    assert bool(jnp.any(props.valid))
+    # proposals inside image bounds
+    assert float(jnp.max(props.boxes[..., 2] * props.valid)) <= 64.0
+
+
+def test_sample_proposals_groups(rng):
+    proposals = Detections.from_numpy(
+        np.array([[0, 0, 30, 30], [5, 5, 35, 35], [60, 60, 90, 90],
+                  [100, 100, 130, 130]], np.float32),
+        np.ones(4), np.zeros(4, np.int64), 16)
+    gt_a = Detections.from_numpy(
+        np.array([[0, 0, 32, 32]], np.float32), np.ones(1),
+        np.array([1]), 4, probs=np.array([[0.1, 0.8, 0.05, 0.05]]))
+    gt_b = Detections.from_numpy(
+        np.array([[58, 58, 92, 92]], np.float32), np.ones(1),
+        np.array([0]), 4, probs=np.array([[0.6, 0.2, 0.1, 0.1]]))
+    gt_c = Detections.from_numpy(
+        np.array([[100, 100, 128, 128]], np.float32), np.ones(1),
+        np.array([2]), 4, probs=np.array([[0.1, 0.1, 0.7, 0.1]]))
+    sp = rh.sample_proposals_single(
+        proposals, gt_a, gt_b, gt_c, num_classes=3, rng=jax.random.key(1),
+        batch_size=16, positive_fraction=0.5,
+        b_cls_online=jnp.asarray([2] * 4, jnp.int32),
+        b_probs_online=jnp.asarray(np.tile([[0.1, 0.1, 0.7, 0.1]], (4, 1)),
+                                   jnp.float32))
+    groups = np.asarray(sp.group)
+    assert (groups == rh.GROUP_A).sum() >= 1
+    assert (groups == rh.GROUP_B).sum() >= 1
+    # the C-matched proposal must not be sampled as fg or bg
+    b_on = np.asarray(sp.cls_online)[groups == rh.GROUP_B]
+    assert (b_on == 2).all()
+    b_off = np.asarray(sp.cls_offline)[groups == rh.GROUP_B]
+    assert (b_off == 0).all()
+
+
+def test_fast_rcnn_inference(rng):
+    r, c1 = 32, 4
+    boxes = np.tile(np.array([[10, 10, 50, 50]], np.float32), (r, 1))
+    boxes += rng.uniform(-5, 5, (r, 4)).astype(np.float32)
+    scores = rng.dirichlet(np.ones(c1), r).astype(np.float32)
+    det = rh.fast_rcnn_inference_single(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(r, bool),
+        jnp.asarray([100.0, 100.0]), topk=10)
+    assert det.boxes.shape == (10, 4)
+    assert det.probs.shape == (10, c1)
+    got = det.to_numpy()
+    assert (got["scores"] > 0.05).all()
+
+
+def test_ckg_shapes(rng):
+    net = CKGNet(hidden_size=64, num_classes=4)
+    x = jnp.asarray(rng.randn(6, 64).astype(np.float32))
+    proto = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    probs = jnp.asarray(rng.dirichlet(np.ones(4), 6).astype(np.float32))
+    params = net.init(jax.random.key(0), x, proto, proto, probs, probs)
+    out = net.apply(params, x, proto, proto, probs, probs)
+    assert out.shape == (6, 4)
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, rtol=1e-5)
