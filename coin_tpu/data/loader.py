@@ -1,0 +1,198 @@
+"""Data loaders: host decode/resize → static padded canvas; everything
+photometric happens on device (coin_tpu.data.augment).
+
+Replaces coin/data/build.py + dataset_mapper.py: the unsupervised train
+loader yields fixed-shape batches carrying the uint8 canvas, flip flags,
+scale factors and (optionally) the packed per-image cached teacher results;
+strong/weak views are materialized on device inside the train step, not as
+two CPU image copies.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from coin_tpu.data.voc import DatasetSpec, get_dataset, load_voc_instances
+
+
+@dataclass
+class Batch:
+    """Host-side batch (numpy); converted to device arrays by the engine."""
+    images: np.ndarray          # (B, H, W, 3) uint8, resized+padded
+    image_hw: np.ndarray        # (B, 2) valid (h, w) on the canvas
+    orig_hw: np.ndarray         # (B, 2) original image size
+    scale: np.ndarray           # (B,) resize factor orig→canvas
+    flip: np.ndarray            # (B,) bool (train only)
+    image_ids: List[str]
+    indices: np.ndarray         # (B,) dataset indices
+    gt_boxes: Optional[np.ndarray] = None      # (B, G, 4) canvas coords
+    gt_classes: Optional[np.ndarray] = None    # (B, G)
+    gt_valid: Optional[np.ndarray] = None      # (B, G)
+    gt_difficult: Optional[np.ndarray] = None  # (B, G)
+
+
+def _resize_factor(h: int, w: int, min_size: int, max_size: int) -> float:
+    scale = min_size / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    return scale
+
+
+class _BaseLoader:
+    def __init__(self, dataset_name: str, root: str, min_size: int = 600,
+                 max_size: int = 1333, canvas_hw: Tuple[int, int] = None,
+                 gt_capacity: int = 64):
+        spec = get_dataset(dataset_name)
+        self.spec = spec
+        self.records = load_voc_instances(
+            os.path.join(root, spec.dirname), spec.split, spec.class_names,
+            spec.image_ext)
+        self.min_size = min_size
+        self.max_size = max_size
+        self.gt_capacity = gt_capacity
+        if canvas_hw is None:
+            canvas_hw = self._infer_canvas()
+        self.canvas_hw = canvas_hw
+
+    def _infer_canvas(self) -> Tuple[int, int]:
+        """Static canvas: resize the largest image shape and round up /32."""
+        hs, ws = [], []
+        for rec in self.records[:64]:
+            h = rec.get("height")
+            w = rec.get("width")
+            if h is None:
+                with Image.open(rec["file_name"]) as im:
+                    w, h = im.size
+                rec["height"], rec["width"] = h, w
+            s = _resize_factor(h, w, self.min_size, self.max_size)
+            hs.append(h * s)
+            ws.append(w * s)
+        up = lambda v: int(-(-max(v) // 32) * 32)
+        return up(hs), up(ws)
+
+    def load_image(self, rec: dict) -> Tuple[np.ndarray, float]:
+        with Image.open(rec["file_name"]) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            rec.setdefault("height", h)
+            rec.setdefault("width", w)
+            scale = _resize_factor(h, w, self.min_size, self.max_size)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            nh = min(nh, self.canvas_hw[0])
+            nw = min(nw, self.canvas_hw[1])
+            im = im.resize((nw, nh), Image.BILINEAR)
+        arr = np.asarray(im, np.uint8)
+        canvas = np.zeros((*self.canvas_hw, 3), np.uint8)
+        canvas[:nh, :nw] = arr
+        return canvas, scale, (nh, nw)
+
+    def pack_batch(self, indices: Sequence[int],
+                   flips: Optional[np.ndarray] = None) -> Batch:
+        b = len(indices)
+        ch, cw = self.canvas_hw
+        images = np.zeros((b, ch, cw, 3), np.uint8)
+        image_hw = np.zeros((b, 2), np.float32)
+        orig_hw = np.zeros((b, 2), np.float32)
+        scales = np.zeros((b,), np.float32)
+        ids = []
+        g = self.gt_capacity
+        gt_boxes = np.zeros((b, g, 4), np.float32)
+        gt_classes = np.full((b, g), -1, np.int32)
+        gt_valid = np.zeros((b, g), bool)
+        gt_diff = np.zeros((b, g), bool)
+        flips = (np.zeros(b, bool) if flips is None
+                 else np.asarray(flips, bool))
+        for j, i in enumerate(indices):
+            rec = self.records[i]
+            img, scale, (nh, nw) = self.load_image(rec)
+            images[j] = img
+            image_hw[j] = (nh, nw)
+            orig_hw[j] = (rec["height"], rec["width"])
+            scales[j] = scale
+            ids.append(rec["image_id"])
+            n = min(len(rec["boxes"]), g)
+            if n:
+                boxes = rec["boxes"][:n] * scale
+                if flips[j]:
+                    flipped = boxes.copy()
+                    flipped[:, 0] = nw - boxes[:, 2]
+                    flipped[:, 2] = nw - boxes[:, 0]
+                    boxes = flipped
+                gt_boxes[j, :n] = boxes
+                gt_classes[j, :n] = rec["classes"][:n]
+                gt_valid[j, :n] = True
+                gt_diff[j, :n] = rec["difficult"][:n]
+        return Batch(images, image_hw, orig_hw, scales, flips, ids,
+                     np.asarray(indices), gt_boxes, gt_classes, gt_valid,
+                     gt_diff)
+
+
+class TestLoader(_BaseLoader):
+    """Sequential fixed-batch loader (pads the tail by repeating the last
+    index; consumers mask with ``n_valid``)."""
+
+    def __init__(self, dataset_name: str, root: str, batch_size: int = 8,
+                 **kw):
+        super().__init__(dataset_name, root, **kw)
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return -(-len(self.records) // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.records)
+        for start in range(0, n, self.batch_size):
+            idx = list(range(start, min(start + self.batch_size, n)))
+            n_valid = len(idx)
+            while len(idx) < self.batch_size:
+                idx.append(idx[-1])
+            batch = self.pack_batch(idx)
+            yield batch, n_valid
+
+
+class TrainLoader(_BaseLoader):
+    """Infinite shuffled loader with random horizontal flips and background
+    prefetch (double-buffered on a worker thread)."""
+
+    def __init__(self, dataset_name: str, root: str, batch_size: int = 3,
+                 seed: int = 2024, flip: bool = True, prefetch: int = 2,
+                 **kw):
+        super().__init__(dataset_name, root, **kw)
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self.flip = flip
+        self.prefetch = prefetch
+
+    def _gen(self):
+        n = len(self.records)
+        order = self.rng.permutation(n)
+        pos = 0
+        while True:
+            if pos + self.batch_size > n:
+                order = self.rng.permutation(n)
+                pos = 0
+            idx = order[pos:pos + self.batch_size]
+            pos += self.batch_size
+            flips = (self.rng.rand(len(idx)) < 0.5) if self.flip \
+                else np.zeros(len(idx), bool)
+            yield self.pack_batch(idx, flips)
+
+    def __iter__(self):
+        q = queue_mod.Queue(maxsize=self.prefetch)
+        gen = self._gen()
+
+        def worker():
+            for item in gen:
+                q.put(item)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            yield q.get()
