@@ -163,6 +163,9 @@ def default_config() -> CfgNode:
             "TEST": [],
             "STYLE_NAME": "",
             "ROOT": os.environ.get("DETECTRON2_DATASETS", "datasets"),
+            # user-registered VOC datasets:
+            # [{NAME, DIRNAME, SPLIT, CLASSES, EXT}]
+            "CUSTOM": [],
         },
         "DATALOADER": {"NUM_WORKERS": 2},
         "SOLVER": {

@@ -71,10 +71,13 @@ def register_all_builtin() -> None:
 
 
 def get_dataset(name: str) -> DatasetSpec:
-    if not DATASET_REGISTRY:
-        register_all_builtin()
     if name not in DATASET_REGISTRY:
         register_all_builtin()
+    if name not in DATASET_REGISTRY:
+        raise KeyError(
+            f"unknown dataset '{name}'; registered: "
+            f"{sorted(DATASET_REGISTRY)} (register custom VOC datasets via "
+            f"DATASETS.CUSTOM or coin_tpu.data.register_pascal_voc)")
     return DATASET_REGISTRY[name]
 
 
