@@ -36,6 +36,10 @@ class Batch:
     gt_classes: Optional[np.ndarray] = None    # (B, G)
     gt_valid: Optional[np.ndarray] = None      # (B, G)
     gt_difficult: Optional[np.ndarray] = None  # (B, G)
+    # cached-teacher views attached by a ResultStore-backed loader:
+    # {"RCNN": {boxes, classes, scores, probs, valid}, "RPN": {...}},
+    # each batched (B, cap, ...) in canvas coordinates
+    online: Optional[dict] = None
 
 
 def _resize_factor(h: int, w: int, min_size: int, max_size: int) -> float:
@@ -163,12 +167,32 @@ class TrainLoader(_BaseLoader):
 
     def __init__(self, dataset_name: str, root: str, batch_size: int = 3,
                  seed: int = 2024, flip: bool = True, prefetch: int = 2,
-                 **kw):
+                 store=None, store_cap: int = 128,
+                 store_thresh: Optional[float] = None, **kw):
         super().__init__(dataset_name, root, **kw)
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
         self.flip = flip
         self.prefetch = prefetch
+        self.store = store
+        self.store_cap = store_cap
+        self.store_thresh = store_thresh
+
+    def _attach_store(self, batch: Batch) -> Batch:
+        """Pack the cached cloud results for each image in the batch,
+        rescaled/flipped to the canvas (host-side replacement for
+        BASE_Trainer.preprocess_results, coin/engine/base.py:128-136)."""
+        views = {}
+        for view in ("RCNN", "RPN"):
+            per_img = [self.store.pack_view(
+                batch.image_ids[j], view, self.store_cap,
+                float(batch.scale[j]), bool(batch.flip[j]),
+                float(batch.image_hw[j][1]), self.store_thresh)
+                for j in range(len(batch.image_ids))]
+            views[view] = {k: np.stack([p[k] for p in per_img])
+                           for k in per_img[0]}
+        batch.online = views
+        return batch
 
     def _gen(self):
         n = len(self.records)
@@ -182,7 +206,10 @@ class TrainLoader(_BaseLoader):
             pos += self.batch_size
             flips = (self.rng.rand(len(idx)) < 0.5) if self.flip \
                 else np.zeros(len(idx), bool)
-            yield self.pack_batch(idx, flips)
+            batch = self.pack_batch(idx, flips)
+            if self.store is not None:
+                batch = self._attach_store(batch)
+            yield batch
 
     def __iter__(self):
         q = queue_mod.Queue(maxsize=self.prefetch)

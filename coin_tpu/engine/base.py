@@ -1,0 +1,123 @@
+"""Shared trainer base (replaces coin/engine/base.py BASE_Trainer): model
+construction + param partitioning, loaders, evaluation, checkpointing and
+the generic train loop scaffolding."""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coin_tpu.data.loader import TestLoader, TrainLoader
+from coin_tpu.engine import pipelines
+from coin_tpu.engine.checkpoint import Checkpointer
+from coin_tpu.engine.common import MetricLogger, simple_class_tokens
+from coin_tpu.engine.evaluator import evaluate_detector
+from coin_tpu.engine.state import (default_freeze_predicate, merge_params,
+                                   partition_params)
+from coin_tpu.models.detector import OpenVocabularyRCNN
+from coin_tpu.solver import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+def pipeline_config_from(cfg, num_classes: int) -> pipelines.PipelineConfig:
+    m = cfg.MODEL
+    return pipelines.PipelineConfig(
+        num_classes=num_classes,
+        rpn_batch_size=m.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=m.RPN.POSITIVE_FRACTION,
+        rpn_thresholds=tuple(m.RPN.IOU_THRESHOLDS),
+        rpn_nms_thresh=m.RPN.NMS_THRESH,
+        pre_nms_topk_train=m.RPN.PRE_NMS_TOPK_TRAIN,
+        post_nms_topk_train=m.RPN.POST_NMS_TOPK_TRAIN,
+        pre_nms_topk_test=m.RPN.PRE_NMS_TOPK_TEST,
+        post_nms_topk_test=m.RPN.POST_NMS_TOPK_TEST,
+        roi_batch_size=m.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=m.ROI_HEADS.POSITIVE_FRACTION,
+        roi_iou_threshold=m.ROI_HEADS.IOU_THRESHOLDS[0],
+        pooler_resolution=m.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        test_score_thresh=m.ROI_HEADS.SCORE_THRESH_TEST,
+        test_nms_thresh=m.ROI_HEADS.NMS_THRESH_TEST,
+        test_topk=cfg.TEST.DETECTIONS_PER_IMAGE,
+        bg_weight=(cfg.CLOUD.CLASSES_WEIGHT[-1]
+                   if cfg.CLOUD.CLASSES_WEIGHT else 1.0),
+        loss_type=cfg.CLOUD.LOSS_TYPE,
+        bg_train=cfg.CLOUD.BG_TRAIN,
+    )
+
+
+def loss_weights_from(cfg) -> Dict[str, float]:
+    c = cfg.CLOUD
+    return {
+        "loss_box_reg": c.LOSS_BOX_REG_WEIGHT,
+        "loss_box_reg_offline": c.LOSS_BOX_REG_OFFLINE_WEIGHT,
+        "loss_box_reg_online": c.LOSS_BOX_REG_ONLINE_WEIGHT,
+        "loss_cls": c.LOSS_CLS_WEIGHT,
+        "loss_text_align": c.LOSS_TEXT_ALIGN_WEIGHT,
+        "loss_distillation": c.LOSS_DISTILLATION_WEIGHT,
+        "loss_cls_b": c.LOSS_CLS_B_WEIGHT,
+        "loss_rpn_distillation": c.LOSS_DISTILLATION_WEIGHT,
+        "loss_rpn_cls": cfg.MODEL.RPN.LOSS_WEIGHT,
+        "loss_rpn_loc": (cfg.MODEL.RPN.BBOX_REG_LOSS_WEIGHT
+                         * cfg.MODEL.RPN.LOSS_WEIGHT),
+    }
+
+
+class DetectorTrainerBase:
+    """Builds the detector + partitioned params + optimizer + loaders."""
+
+    def __init__(self, cfg, class_tokens: Optional[np.ndarray] = None,
+                 train_loader: Optional[TrainLoader] = None):
+        self.cfg = cfg
+        root = cfg.DATASETS.ROOT
+        train_name = cfg.DATASETS.TRAIN_UNLABEL[0]
+        self.train_loader = train_loader or TrainLoader(
+            train_name, root, batch_size=cfg.SOLVER.IMG_PER_BATCH_UNLABEL,
+            seed=cfg.SEED, min_size=cfg.INPUT.MIN_SIZE_TRAIN,
+            max_size=cfg.INPUT.MAX_SIZE)
+        self.num_classes = len(self.train_loader.spec.class_names)
+        self.class_tokens = (class_tokens if class_tokens is not None
+                             else simple_class_tokens(self.num_classes + 1))
+        self.model = OpenVocabularyRCNN(
+            num_classes=self.num_classes,
+            depth=cfg.MODEL.RESNETS.DEPTH,
+            pooling=cfg.MODEL.ROI_HEADS.POOLING_TYPE,
+            add_prompt_num=cfg.CLOUD.ADD_PROMPT_NUM,
+            text_layers=cfg.get_path("TPU.TEXT_LAYERS", 12),
+            text_width=cfg.get_path("TPU.TEXT_WIDTH", 512),
+            text_heads=cfg.get_path("TPU.TEXT_HEADS", 8),
+        )
+        self.pcfg = pipeline_config_from(cfg, self.num_classes)
+        self.loss_weights = loss_weights_from(cfg)
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+        self.metrics = MetricLogger(cfg.OUTPUT_DIR, cfg.SOLVER.MAX_ITER)
+
+    def init_variables(self):
+        canvas = self.train_loader.canvas_hw
+        dummy = jnp.zeros((1, *canvas, 3), jnp.float32)
+        rois = jnp.asarray([[[0, 0, 32, 32]]], jnp.float32)
+        return self.model.init(jax.random.key(self.cfg.SEED), dummy,
+                               jnp.asarray(self.class_tokens), rois)
+
+    def split_params(self, variables):
+        return partition_params(
+            variables,
+            default_freeze_predicate(self.cfg.CLOUD.UPDATE_BACKBONE))
+
+    def build_optimizer(self, params):
+        return build_optimizer(params, self.cfg)
+
+    def evaluate(self, params, frozen) -> Dict[str, float]:
+        loader = TestLoader(
+            self.cfg.DATASETS.TEST[0], self.cfg.DATASETS.ROOT,
+            batch_size=max(self.cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 4),
+            min_size=self.cfg.INPUT.MIN_SIZE_TEST,
+            max_size=self.cfg.INPUT.MAX_SIZE,
+            canvas_hw=self.train_loader.canvas_hw)
+        variables = merge_params(params, frozen)
+        return evaluate_detector(self.model, variables, loader,
+                                 self.class_tokens, self.pcfg)

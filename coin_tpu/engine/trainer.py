@@ -1,0 +1,256 @@
+"""CoinTrainer — the final knowledge separation + distillation stage.
+
+TPU re-design of coin/engine/trainer.py: one jitted train step fuses
+  EMA teacher update → teacher forward (weak view) → dual-teacher A/B/C
+  matching → student forward/losses (strong view) → CKG merge training via
+  the gradient-alignment loss (second-order jax.grad over the `trans`
+  MLP — no double-backward contortions) → dual optimizer updates →
+  prototype EMA.
+
+Burn-up switching (step_one → step_two, WEIGHT_FOR_BOX_A 1.0 → 0.5,
+teacher EMA start) is data-dependent scalar control inside the single
+compiled step (trainer.py:149-218).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from coin_tpu.data.augment import preprocess_batch
+from coin_tpu.data.loader import TrainLoader
+from coin_tpu.engine import coin_pipelines, pipelines
+from coin_tpu.engine.base import DetectorTrainerBase
+from coin_tpu.engine.matching import match_dual_teacher_single
+from coin_tpu.engine.pre_train import online_view_to_detections
+from coin_tpu.engine.results_store import ResultStore
+from coin_tpu.engine.state import (Prototypes, TrainState, ema_update,
+                                   merge_params)
+from coin_tpu.models.ckg import CKGNet
+from coin_tpu.solver import build_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class CoinTrainer(DetectorTrainerBase):
+    def __init__(self, cfg, store: Optional[ResultStore] = None,
+                 class_tokens: Optional[np.ndarray] = None):
+        if store is None:
+            store = self._load_store(cfg)
+        loader = TrainLoader(
+            cfg.DATASETS.TRAIN_UNLABEL[0], cfg.DATASETS.ROOT,
+            batch_size=cfg.SOLVER.IMG_PER_BATCH_UNLABEL, seed=cfg.SEED,
+            min_size=cfg.INPUT.MIN_SIZE_TRAIN, max_size=cfg.INPUT.MAX_SIZE,
+            store=store, store_cap=cfg.get_path("TPU.CAP_TEACHER", 128))
+        super().__init__(cfg, class_tokens, train_loader=loader)
+        self.store = store
+
+        variables = self.init_variables()
+        params, frozen = self.split_params(variables)
+        self.tx, self.schedule = self.build_optimizer(params)
+
+        self.merge_model = CKGNet(
+            hidden_size=cfg.MODEL.MERGE_DIM,
+            num_classes=self.num_classes + 1)
+        dummy_feats = jnp.zeros((2, cfg.MODEL.MERGE_DIM))
+        dummy_proto = jnp.zeros((self.num_classes + 1,
+                                 cfg.MODEL.MERGE_DIM))
+        dummy_probs = jnp.zeros((2, self.num_classes + 1))
+        merge_vars = self.merge_model.init(
+            jax.random.key(cfg.SEED + 2), dummy_feats, dummy_proto,
+            dummy_proto, dummy_probs, dummy_probs)
+        self.merge_tx, _ = build_optimizer(merge_vars["params"], cfg,
+                                           overrides={})
+
+        proto0 = self.model.apply(variables,
+                                  jnp.asarray(self.class_tokens),
+                                  method="text_features")
+        self.state = TrainState(
+            params=params, frozen=frozen, opt_state=self.tx.init(params),
+            step=jnp.asarray(0), rng=jax.random.key(cfg.SEED + 1),
+            prototypes=Prototypes(proto0, proto0, proto0),
+            teacher_params=jax.tree.map(jnp.copy, params),
+            merge_params=merge_vars["params"],
+            merge_opt_state=self.merge_tx.init(merge_vars["params"]))
+        self._train_step = self._build_train_step()
+        self.ap_50_student = {}
+        self.ap_50_offline_teacher = {}
+
+    @staticmethod
+    def _load_store(cfg) -> ResultStore:
+        path = cfg.get_path("CLOUD.COLLECT_FILE", "")
+        if path and os.path.exists(path):
+            return ResultStore.load(path)
+        raise FileNotFoundError(
+            "CoinTrainer needs cached cloud results (CLOUD.COLLECT_FILE)")
+
+    # ------------------------------------------------------------- #
+    def _build_train_step(self):
+        cfg = self.cfg
+        model, pcfg = self.model, self.pcfg
+        merge_model, merge_tx, tx = self.merge_model, self.merge_tx, self.tx
+        tokens = jnp.asarray(self.class_tokens)
+        burn_up = cfg.CLOUD.BURN_UP_STEP
+        ema_rate = cfg.CLOUD.EMA_KEEP_RATE_OFFLINE
+        ema_every = cfg.CLOUD.OFFLINE_TEACHER_UPDATE_ITER
+        proto_rate = cfg.CLOUD.PROTOTYPE_UPDATE_WEIGHT
+        proto_start = cfg.CLOUD.PROTOTYPE_UPDATE_START
+        match_thr = cfg.CLOUD.MATCHER.IOU_THRESHOLDS
+        cls_b_thresh = cfg.CLOUD.CLS_B_THRESH
+        weights = self.loss_weights
+
+        @jax.jit
+        def train_step(state: TrainState, images_u8, image_hw, flip,
+                       online_rcnn, online_rpn):
+            step = state.step
+            step_two = step >= burn_up
+            rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
+            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+
+            # ---- EMA teacher update (trainer.py:169-172) ----
+            do_ema = step_two & ((step - burn_up) % ema_every == 0)
+            teacher = jax.tree.map(
+                lambda t, s: jnp.where(
+                    do_ema, t * ema_rate + s * (1.0 - ema_rate), t),
+                state.teacher_params, state.params)
+
+            # ---- offline teacher forward on the weak view ----
+            teacher_vars = merge_params(teacher, state.frozen)
+            offline = pipelines.inference(model, teacher_vars, weak,
+                                          image_hw, tokens, pcfg)
+            offline = jax.lax.stop_gradient(offline)
+
+            # ---- dual-teacher matching (A/B/C) ----
+            box_a_w = jnp.where(step_two, 0.5, 1.0)
+            matched_rcnn = jax.vmap(
+                lambda o, f: match_dual_teacher_single(
+                    o, f, match_thr, box_a_w, with_b=True)
+            )(online_rcnn, offline)
+            matched_rpn = jax.vmap(
+                lambda o, f: match_dual_teacher_single(
+                    o, f, match_thr, box_a_w, with_b=False)
+            )(online_rpn, offline)
+
+            update_prototype = ((proto_start != -1)
+                                & (step >= proto_start))
+
+            def merge_probs_fn(feats_b, p_off, p_on):
+                return merge_model.apply(
+                    {"params": state.merge_params}, feats_b,
+                    state.prototypes.b_offline,
+                    state.prototypes.b_online, p_off, p_on)
+
+            # ---- student forward + losses ----
+            def loss_fn(params):
+                variables = merge_params(params, state.frozen)
+                fw = coin_pipelines.student_forward(
+                    model, variables, strong, image_hw, matched_rcnn,
+                    matched_rpn, tokens, rng_fwd, pcfg, step_two,
+                    state.prototypes.proto, merge_probs_fn, cls_b_thresh)
+                losses = coin_pipelines.apply_loss_weights(fw.losses,
+                                                           weights)
+                return sum(losses.values()), (losses, fw)
+
+            (_, (losses, fw)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            # ---- CKG merge training (trainer.py:192-197) ----
+            student_vars = merge_params(state.params, state.frozen)
+            text = model.apply(student_vars, tokens,
+                               method="text_features")
+
+            def merge_loss_fn(mp):
+                ml = coin_pipelines.merge_losses(
+                    merge_model, mp, student_vars, model, fw,
+                    state.prototypes, pcfg.num_classes, text)
+                return ml["loss_merge_grad"] + ml["loss_merge_base"], ml
+
+            (_, mlosses), mgrads = jax.value_and_grad(
+                merge_loss_fn, has_aux=True)(state.merge_params)
+            any_b = jnp.any(fw.sp.group == 1)
+            train_merge = any_b & update_prototype
+            mgrads = jax.tree.map(
+                lambda g: jnp.where(train_merge, g, 0.0), mgrads)
+            mupdates, merge_opt_state = merge_tx.update(
+                mgrads, state.merge_opt_state, state.merge_params)
+            merge_p = optax.apply_updates(state.merge_params, mupdates)
+
+            # ---- prototype EMA updates ----
+            protos = coin_pipelines.update_prototypes(
+                state.prototypes, fw, pcfg.num_classes, proto_rate,
+                update_prototype)
+
+            losses = dict(losses)
+            losses.update(mlosses)
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=step + 1,
+                rng=rng, prototypes=protos, teacher_params=teacher,
+                merge_params=merge_p, merge_opt_state=merge_opt_state)
+            return new_state, losses
+
+        return train_step
+
+    # ------------------------------------------------------------- #
+    def train(self, max_iter: Optional[int] = None):
+        cfg = self.cfg
+        max_iter = max_iter or cfg.SOLVER.MAX_ITER
+        it = iter(self.train_loader)
+        start = int(self.state.step)
+        for i in range(start, max_iter):
+            batch = next(it)
+            self.state, losses = self._train_step(
+                self.state, jnp.asarray(batch.images),
+                jnp.asarray(batch.image_hw), jnp.asarray(batch.flip),
+                online_view_to_detections(batch.online["RCNN"]),
+                online_view_to_detections(batch.online["RPN"]))
+            self.metrics.log(i, {k: float(v) for k, v in losses.items()})
+            if i == cfg.CLOUD.BURN_UP_STEP - 1:
+                self.checkpointer.save(self.state, i,
+                                       name=f"burn_up_{i:07d}")
+            if (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                self.ap_50_student[i] = self.test()["AP50"]
+                if i >= cfg.CLOUD.BURN_UP_STEP \
+                        and cfg.CLOUD.EMA_KEEP_RATE_OFFLINE != 1.0:
+                    self.ap_50_offline_teacher[i] = \
+                        self.test_teacher()["AP50"]
+            if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+                self.checkpointer.save(self.state, i + 1)
+        return self.state
+
+    def test(self) -> Dict[str, float]:
+        return self.evaluate(self.state.params, self.state.frozen)
+
+    def test_teacher(self) -> Dict[str, float]:
+        return self.evaluate(self.state.teacher_params, self.state.frozen)
+
+    def resume_or_load(self, resume: bool = False):
+        """MODEL.WEIGHTS semantics (trainer.py:220-265): a single path =
+        full resume; 'pretrain_ckpt+collect_npz' = fresh start from CLIPDET
+        weights + collect store (the store is already loaded via
+        CLOUD.COLLECT_FILE in this design)."""
+        w = self.cfg.MODEL.WEIGHTS
+        if resume:
+            self.state = self.checkpointer.load_latest(self.state)
+            return
+        if not w:
+            return
+        paths = w.split("+")
+        pre = paths[0]
+        if os.path.exists(pre):
+            restored = self.checkpointer.load(pre, self.state)
+            # take params + prototypes from the pretrain checkpoint;
+            # teacher starts as a copy of the student (trainer.py:225-235)
+            self.state = self.state.replace(
+                params=restored.params, frozen=restored.frozen,
+                prototypes=restored.prototypes,
+                teacher_params=jax.tree.map(jnp.copy, restored.params))
+            logger.info("loaded CLIPDET pretrain weights from %s", pre)

@@ -97,9 +97,16 @@ def label_anchors_single(anchors: jnp.ndarray, gt_a: Detections,
         distill = jnp.zeros((r,), bool)
         t_probs = jnp.zeros((r,), jnp.float32)
 
-    # no positive gt at all → everything ignored (rpn.py:184-191 semantics)
+    # no positive gt at all (rpn.py:184-191, 244-248): everything ignored,
+    # except — in the dual-teacher branch — anchors whose best match is a
+    # C box yet labeled background stay negative
     any_a = jnp.any(gt_a.valid)
-    labels = jnp.where(any_a, labels, jnp.int8(-1))
+    if gt_c is not None:
+        fallback = jnp.where(is_c & (labels == 0), jnp.int8(0),
+                             jnp.int8(-1))
+    else:
+        fallback = jnp.full_like(labels, -1)
+    labels = jnp.where(any_a, labels, fallback)
 
     pos, neg = M.subsample_labels(labels, batch_size, positive_fraction, rng)
     labels = jnp.where(pos, jnp.int8(1),
@@ -185,7 +192,13 @@ def predict_proposals(anchors: jnp.ndarray, obj_logits: jnp.ndarray,
             & jnp.isfinite(scores)
         keep = nms_ops.nms_keep_mask(boxes, scores, valid, nms_thresh)
         kept_scores = jnp.where(keep, scores, nms_ops.NEG_INF)
-        top_scores, top_idx = jax.lax.top_k(kept_scores, post_nms_topk)
+        kk = min(post_nms_topk, kept_scores.shape[0])
+        top_scores, top_idx = jax.lax.top_k(kept_scores, kk)
+        pad = post_nms_topk - kk
+        if pad:
+            top_scores = jnp.pad(top_scores, (0, pad),
+                                 constant_values=nms_ops.NEG_INF)
+            top_idx = jnp.pad(top_idx, (0, pad))
         top_valid = top_scores > nms_ops.NEG_INF / 2
         return Detections(
             boxes=jnp.take(boxes, top_idx, axis=0),

@@ -1,0 +1,116 @@
+"""End-to-end smoke for the adaptation stages: PRETrainer (dissemination)
+and CoinTrainer (separation + distillation) on synthetic data with a
+synthetic cloud-result store."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from coin_tpu.config import load_config
+from coin_tpu.data import voc as voc_mod
+from coin_tpu.data.voc import load_voc_instances, make_synthetic_voc
+from coin_tpu.engine.results_store import ResultStore
+from coin_tpu.engine.pre_train import PRETrainer
+from coin_tpu.engine.trainer import CoinTrainer
+
+
+def synth_store(records, num_classes, seed=3):
+    """Simulated cloud detections: GT boxes with jitter + confident probs
+    (stands in for the GDINO collection pass)."""
+    rng = np.random.RandomState(seed)
+    store = ResultStore(num_classes)
+    for rec in records:
+        boxes = rec["boxes"] + rng.uniform(-2, 2, rec["boxes"].shape)
+        n = len(boxes)
+        probs = np.full((n, num_classes + 1), 0.05, np.float32)
+        scores = rng.uniform(0.5, 0.95, n).astype(np.float32)
+        for i, c in enumerate(rec["classes"]):
+            probs[i, c] = scores[i]
+        probs /= probs.sum(1, keepdims=True)
+        scores = probs.max(1)
+        for view in ("RCNN", "RPN"):
+            store.put(rec["image_id"], view, boxes, rec["classes"], scores,
+                      probs)
+    return store
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_synthetic_voc(str(root / "synth/VOC2007"), num_images=6,
+                       split="train")
+    make_synthetic_voc(str(root / "synth/VOC2007"), num_images=4,
+                       split="val", seed=7)
+    voc_mod.register_pascal_voc("asynthtrain", "synth/VOC2007", "train",
+                                ("car", "person"), ".jpg")
+    voc_mod.register_pascal_voc("asynthval", "synth/VOC2007", "val",
+                                ("car", "person"), ".jpg")
+    records = load_voc_instances(str(root / "synth/VOC2007"), "train",
+                                 ("car", "person"), ".jpg")
+    store = synth_store(records, num_classes=2)
+
+    out = tmp_path_factory.mktemp("out")
+    cfg = load_config()
+    cfg.DATASETS.ROOT = str(root)
+    cfg.DATASETS.TRAIN_UNLABEL = ["asynthtrain"]
+    cfg.DATASETS.TEST = ["asynthval"]
+    cfg.OUTPUT_DIR = str(out)
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = 2
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.WARMUP_ITERS = 2
+    cfg.SOLVER.STEPS = [100]
+    cfg.SOLVER.FACTOR_LIST = [1, 0.1]
+    cfg.SOLVER.CHECKPOINT_PERIOD = 1000
+    cfg.TEST.EVAL_PERIOD = 1000
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.INPUT.MIN_SIZE_TRAIN = 64
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE = 96
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.TPU.TEXT_LAYERS = 1
+    cfg.TPU.TEXT_WIDTH = 32
+    cfg.TPU.TEXT_HEADS = 2
+    cfg.TPU.CAP_TEACHER = 8
+    cfg.CLOUD.BURN_UP_STEP = 2          # step_two kicks in at iter 2
+    cfg.CLOUD.PROTOTYPE_UPDATE_START = 1
+    cfg.CLOUD.CLASSES_WEIGHT = [1.0, 1.0, 0.9]
+    return cfg, store
+
+
+def test_pretrainer_steps(setup):
+    cfg, store = setup
+    tr = PRETrainer(cfg.clone(), store=store)
+    proto_before = np.asarray(tr.state.prototypes.proto)
+    state = tr.train(max_iter=3)
+    assert int(state.step) == 3
+    # prototype EMA kicked in (PROTOTYPE_UPDATE_START=1)
+    assert not np.allclose(proto_before,
+                           np.asarray(state.prototypes.proto))
+
+
+@pytest.fixture(scope="module")
+def coin_trainer(setup):
+    cfg, store = setup
+    cfg = cfg.clone()
+    # merge dim must equal the classifier text dim (cls feature size)
+    cfg.MODEL.MERGE_DIM = 1024
+    return CoinTrainer(cfg, store=store)
+
+
+def test_coin_trainer_steps(coin_trainer):
+    state = coin_trainer.train(max_iter=4)
+    assert int(state.step) == 4
+    # teacher params stay finite through burn-up EMA steps
+    t0 = np.asarray(next(iter(
+        __import__("jax").tree_util.tree_leaves(state.teacher_params))))
+    assert np.isfinite(t0).all()
+
+
+def test_coin_eval_runs(coin_trainer):
+    res = coin_trainer.test()
+    assert "AP50" in res

@@ -34,18 +34,18 @@ def cfg(tmp_path_factory):
     cfg.SOLVER.FACTOR_LIST = [1, 0.1]
     cfg.SOLVER.CHECKPOINT_PERIOD = 3
     cfg.TEST.EVAL_PERIOD = 1000
-    cfg.INPUT.MIN_SIZE_TRAIN = 96
-    cfg.INPUT.MIN_SIZE_TEST = 96
-    cfg.INPUT.MAX_SIZE = 160
-    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
-    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
-    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
-    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
-    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
-    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 32
-    cfg.TEST.DETECTIONS_PER_IMAGE = 20
-    cfg.TPU.TEXT_LAYERS = 2
-    cfg.TPU.TEXT_WIDTH = 64
+    cfg.INPUT.MIN_SIZE_TRAIN = 64
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE = 96
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.TPU.TEXT_LAYERS = 1
+    cfg.TPU.TEXT_WIDTH = 32
     cfg.TPU.TEXT_HEADS = 2
     return cfg
 
