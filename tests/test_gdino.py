@@ -1,0 +1,108 @@
+"""Shape/sanity tests for the Grounding-DINO stack (tiny configuration —
+real-weight numerics require the user-supplied checkpoint)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from coin_tpu.models import gdino as G
+from coin_tpu.models.deformable import MSDeformAttention, ms_deform_sample
+from coin_tpu.models.swin import SwinTransformer
+from coin_tpu.models.gdino_detector import (build_captions_and_spans,
+                                            phrase_self_attention_mask,
+                                            positive_map_from_spans,
+                                            postprocess_gdino)
+
+
+class FakeTok:
+    cls, sep = 101, 102
+
+    def encode(self, text):
+        if text == ".":
+            return [1012]
+        return [hash(w) % 1000 + 2000 for w in text.split()]
+
+
+def test_captions_and_positive_map():
+    tok = FakeTok()
+    caption, ids, spans = build_captions_and_spans(["car", "traffic_light"],
+                                                   tok)
+    assert caption == "car . traffic light ."
+    pm = positive_map_from_spans(spans, len(ids))
+    assert pm.shape == (2, len(ids))
+    np.testing.assert_allclose(pm.sum(1), 1.0)
+    # spans don't overlap separators
+    assert pm[:, 0].sum() == 0  # CLS
+    mask = phrase_self_attention_mask(ids, [1012], [tok.cls, tok.sep])
+    assert mask[0, 0] and not mask[0, 1]  # CLS attends only to itself
+    s0, e0 = spans[0]
+    s1, e1 = spans[1]
+    assert mask[s0, s0]
+    assert not mask[s0, s1]  # different phrases don't attend
+
+
+def test_ms_deform_sample_matches_manual(rng):
+    b, heads, d = 1, 2, 4
+    shapes = [(4, 4), (2, 2)]
+    starts = [0, 16]
+    total = 20
+    values = jnp.asarray(rng.randn(b, total, heads, d).astype(np.float32))
+    q = 3
+    locs = jnp.asarray(rng.uniform(0.2, 0.8,
+                                   (b, q, heads, 2, 1, 2)).astype(
+                                       np.float32))
+    w = jnp.ones((b, q, heads, 2, 1), jnp.float32) * 0.5
+    out = ms_deform_sample(values, shapes, starts, locs, w)
+    assert out.shape == (b, q, heads, d)
+    # manual bilinear for query 0, head 0, level 0
+    x, y = np.asarray(locs)[0, 0, 0, 0, 0]
+    h0, w0 = shapes[0]
+    xf, yf = x * w0 - 0.5, y * h0 - 0.5
+    x0, y0 = int(np.floor(xf)), int(np.floor(yf))
+    fx, fy = xf - x0, yf - y0
+    v = np.asarray(values)[0, :, 0]
+    ref = ((1 - fy) * (1 - fx) * v[y0 * w0 + x0]
+           + (1 - fy) * fx * v[y0 * w0 + x0 + 1]
+           + fy * (1 - fx) * v[(y0 + 1) * w0 + x0]
+           + fy * fx * v[(y0 + 1) * w0 + x0 + 1])
+    lvl1 = np.asarray(
+        ms_deform_sample(values, shapes, starts, locs,
+                         jnp.asarray(np.stack(
+                             [np.ones((b, q, heads, 1)),
+                              np.zeros((b, q, heads, 1))],
+                             axis=3).astype(np.float32))))[0, 0, 0]
+    np.testing.assert_allclose(lvl1, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_swin_tiny_shapes(rng):
+    model = SwinTransformer("swinT")
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    outs = model.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 8, 12, 192), (1, 4, 6, 384), (1, 2, 3, 768)]
+
+
+@pytest.mark.slow
+def test_gdino_forward_and_postprocess(rng):
+    model = G.GroundingDINO(variant="swinT", num_queries=12, enc_layers=1,
+                            dec_layers=1)
+    img = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    t = 10
+    embeds = jnp.asarray(rng.randn(1, t, 768).astype(np.float32))
+    mask = jnp.ones((1, t), bool)
+    params = model.init(jax.random.key(0), img, embeds, mask)
+    logits, boxes = model.apply(params, img, embeds, mask)
+    assert logits.shape == (1, 12, t)
+    assert boxes.shape == (1, 12, 4)
+    assert np.isfinite(np.asarray(boxes)).all()
+    assert (np.asarray(boxes) >= 0).all() and (np.asarray(boxes) <= 1).all()
+
+    pm = positive_map_from_spans([(1, 3), (4, 6)], t)
+    det = postprocess_gdino(logits[0], boxes[0], jnp.asarray(pm),
+                            jnp.asarray([64.0, 96.0]), threshold=0.0,
+                            capacity=12)
+    got = det.to_numpy()
+    assert got["probs"].shape[-1] == 3  # 2 classes + bg
+    np.testing.assert_allclose(got["probs"].sum(-1), 1.0, rtol=1e-5)
