@@ -20,9 +20,19 @@ REF_IMAGES_PER_SEC = 9.0
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
     import optax
+
+    # persistent compilation cache: repeated bench runs skip the slow
+    # remote compile
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from coin_tpu.engine import pipelines
     from coin_tpu.engine.common import simple_class_tokens

@@ -80,8 +80,13 @@ class DetectorTrainerBase:
             seed=cfg.SEED, min_size=cfg.INPUT.MIN_SIZE_TRAIN,
             max_size=cfg.INPUT.MAX_SIZE)
         self.num_classes = len(self.train_loader.spec.class_names)
-        self.class_tokens = (class_tokens if class_tokens is not None
-                             else simple_class_tokens(self.num_classes + 1))
+        if class_tokens is not None:
+            self.class_tokens = class_tokens
+            self.clip_tokenizer = None
+        else:
+            from coin_tpu.engine.clip_setup import setup_clip_assets
+            self.class_tokens, self.clip_tokenizer = setup_clip_assets(
+                cfg, self.train_loader.spec.class_names)
         self.model = OpenVocabularyRCNN(
             num_classes=self.num_classes,
             depth=cfg.MODEL.RESNETS.DEPTH,
@@ -100,8 +105,29 @@ class DetectorTrainerBase:
         canvas = self.train_loader.canvas_hw
         dummy = jnp.zeros((1, *canvas, 3), jnp.float32)
         rois = jnp.asarray([[[0, 0, 32, 32]]], jnp.float32)
-        return self.model.init(jax.random.key(self.cfg.SEED), dummy,
-                               jnp.asarray(self.class_tokens), rois)
+        variables = self.model.init(jax.random.key(self.cfg.SEED), dummy,
+                                    jnp.asarray(self.class_tokens), rois)
+        clip_path = self.cfg.get_path("TPU.CLIP_WEIGHTS", "")
+        if clip_path:
+            from coin_tpu.engine.clip_setup import load_clip_into_variables
+            variables, _ = load_clip_into_variables(
+                variables, clip_path, self.cfg.MODEL.RESNETS.DEPTH)
+        return variables
+
+    def init_prototypes(self, variables) -> jnp.ndarray:
+        """Template-mean prototypes when CLIP assets are configured,
+        otherwise the learnable-prompt features at init."""
+        if self.clip_tokenizer is not None:
+            from coin_tpu.engine.clip_setup import template_prototypes
+            encode = jax.jit(lambda t: self.model.apply(
+                variables, t, method="encode_text"))
+            names = list(self.train_loader.spec.class_names) \
+                + ["background"]
+            return jnp.asarray(template_prototypes(
+                encode, self.clip_tokenizer, names,
+                self.cfg.DATASETS.STYLE_NAME or "realistic"))
+        return self.model.apply(variables, jnp.asarray(self.class_tokens),
+                                method="text_features")
 
     def split_params(self, variables):
         return partition_params(

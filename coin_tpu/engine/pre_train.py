@@ -56,7 +56,7 @@ class PRETrainer(DetectorTrainerBase):
         variables = self.init_variables()
         params, frozen = self.split_params(variables)
         self.tx, self.schedule = self.build_optimizer(params)
-        proto0 = self._init_prototypes(variables)
+        proto0 = self.init_prototypes(variables)
         self.state = TrainState(
             params=params, frozen=frozen, opt_state=self.tx.init(params),
             step=jnp.asarray(0), rng=jax.random.key(cfg.SEED + 1),
@@ -74,13 +74,6 @@ class PRETrainer(DetectorTrainerBase):
             "PRETrainer needs cached cloud results: set CLOUD.COLLECT_FILE "
             "to a ResultStore .npz (produced by the collection pass) or "
             "pass store= explicitly")
-
-    def _init_prototypes(self, variables) -> jnp.ndarray:
-        """Template-mean prototypes when real CLIP weights are loaded;
-        otherwise the learnable-prompt features at init (clip_text.py:
-        262-279)."""
-        return self.model.apply(variables, jnp.asarray(self.class_tokens),
-                                method="text_features")
 
     def _build_train_step(self):
         model, pcfg = self.model, self.pcfg

@@ -68,9 +68,7 @@ class CoinTrainer(DetectorTrainerBase):
         self.merge_tx, _ = build_optimizer(merge_vars["params"], cfg,
                                            overrides={})
 
-        proto0 = self.model.apply(variables,
-                                  jnp.asarray(self.class_tokens),
-                                  method="text_features")
+        proto0 = self.init_prototypes(variables)
         self.state = TrainState(
             params=params, frozen=frozen, opt_state=self.tx.init(params),
             step=jnp.asarray(0), rng=jax.random.key(cfg.SEED + 1),
