@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Collection pass CLI: run the cloud teacher over the unlabeled train set
+and write the collect stores (stage 1, knowledge dissemination).
+
+Produces:
+  $OUTPUT_DIR/GDINO_collect.npz   — raw cloud detections (online teacher)
+  $OUTPUT_DIR/CLIP_collect.npz    — CLIP-rescored detections (offline
+                                    knowledge for pre-training)
+
+Requires user-supplied weights: MODEL.TEACHER_CLOUD.WEIGHT (GroundingDINO
+checkpoint) + TPU.BERT_VOCAB (BERT vocab.txt) + TPU.CLIP_WEIGHTS /
+TPU.CLIP_BPE_VOCAB for the re-scoring pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--skip-clip", action="store_true",
+                   help="only the raw cloud collection")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from coin_tpu.config import load_config
+    from coin_tpu.data.loader import TestLoader
+    from coin_tpu.data.voc import get_dataset, register_pascal_voc
+    from coin_tpu.engine import collect as collect_mod
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = load_config(args.config, args.opts)
+    for spec in cfg.DATASETS.get("CUSTOM", []):
+        register_pascal_voc(spec["NAME"], spec["DIRNAME"], spec["SPLIT"],
+                            spec["CLASSES"], spec.get("EXT", ".jpg"))
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    train_name = cfg.DATASETS.TRAIN_UNLABEL[0]
+    spec = get_dataset(train_name)
+    class_names = spec.class_names
+
+    # --- cloud teacher backend ---
+    arch = cfg.MODEL.TEACHER_CLOUD.META_ARCHITECTURE
+    loader = TestLoader(train_name, cfg.DATASETS.ROOT, batch_size=4,
+                        min_size=cfg.INPUT.TEACHER_CLOUD.MIN_SIZE_TEST,
+                        max_size=cfg.INPUT.TEACHER_CLOUD.MAX_SIZE_TEST
+                        if "MAX_SIZE_TEST" in cfg.INPUT.TEACHER_CLOUD
+                        else 1333)
+    detector = build_cloud_detector(cfg, arch, class_names)
+
+    store = collect_mod.collect_cloud(
+        detector, loader, len(class_names),
+        nms_method=cfg.CLOUD.NMS_METHOD,
+        collect_nms_thresh=cfg.CLOUD.TEACHER_CLOUD.COLLECT_NMS_THRESH,
+        rcnn_thresh=cfg.CLOUD.TEACHER_CLOUD.RCNN_THRESH,
+        rpn_thresh=cfg.CLOUD.TEACHER_CLOUD.RPN_THRESH
+        if cfg.CLOUD.TEACHER_CLOUD.RPN_SEPARATE_COLLECT
+        else cfg.CLOUD.TEACHER_CLOUD.RCNN_THRESH)
+    out = os.path.join(cfg.OUTPUT_DIR, f"{arch}_collect.npz")
+    store.save(out)
+    print(f"saved cloud collection: {out}")
+
+    if args.skip_clip:
+        return
+
+    # --- CLIP re-scoring pass ---
+    scorer_apply = build_clip_scorer(cfg, class_names)
+    clip_store = collect_mod.rescore_with_clip(
+        scorer_apply, store, loader,
+        capacity=cfg.get_path("TPU.CAP_TEACHER", 128))
+    out2 = os.path.join(cfg.OUTPUT_DIR, "CLIP_collect.npz")
+    clip_store.save(out2)
+    print(f"saved CLIP-rescored collection: {out2}")
+
+
+def build_cloud_detector(cfg, arch, class_names):
+    import jax
+    import jax.numpy as jnp
+
+    if arch in ("GDINO", "GDINO_CLASSONLY"):
+        import torch
+
+        from coin_tpu.models.convert_gdino import (
+            bert_params_from_checkpoint, convert_gdino)
+        from coin_tpu.models.gdino import GroundingDINO
+        from coin_tpu.models.gdino_detector import GDINODetector
+        from coin_tpu.models.gdino_variants import ClassOnlyAdapter
+        from coin_tpu.models.wordpiece import WordPieceTokenizer
+
+        weight = cfg.MODEL.TEACHER_CLOUD.WEIGHT
+        vocab = cfg.get_path("TPU.BERT_VOCAB", "")
+        if not (weight and os.path.exists(weight)):
+            raise FileNotFoundError(
+                f"GDINO checkpoint not found: {weight!r} "
+                "(set MODEL.TEACHER_CLOUD.WEIGHT)")
+        if not (vocab and os.path.exists(vocab)):
+            raise FileNotFoundError(
+                "BERT vocab.txt not found (set TPU.BERT_VOCAB)")
+        sd = torch.load(weight, map_location="cpu")
+        sd = sd.get("model", sd)
+        variant = cfg.MODEL.TEACHER_CLOUD.TYPE
+        model = GroundingDINO(variant=variant,
+                              compute_dtype=jnp.bfloat16)
+        params = jax.tree.map(jnp.asarray, convert_gdino(
+            {k: v.numpy() for k, v in sd.items()}, variant))
+        bert, bert_params = bert_params_from_checkpoint(
+            {k: v for k, v in sd.items()})
+
+        def bert_apply(ids, mask):
+            return bert.module.apply(
+                {"params": bert_params}, ids, mask)[0]
+
+        tok = WordPieceTokenizer(vocab)
+        det = GDINODetector(
+            model, params, bert_apply, class_names, tok,
+            threshold=cfg.MODEL.TEACHER_CLOUD.TEST_THRESHOLD)
+        if arch == "GDINO_CLASSONLY":
+            det = ClassOnlyAdapter(det, len(class_names))
+        return det
+    if arch == "GDINO1_5_API":
+        from coin_tpu.models.gdino_variants import GDINO15APIDetector
+        return GDINO15APIDetector(cfg.MODEL.TEACHER_CLOUD.get("TOKEN", ""),
+                                  class_names)
+    raise ValueError(f"unsupported cloud architecture: {arch}")
+
+
+def build_clip_scorer(cfg, class_names):
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from coin_tpu.engine.clip_setup import (PROMPT_TEMPLATES,
+                                            template_prototypes)
+    from coin_tpu.models import convert as C
+    from coin_tpu.models.clip_scorer import CLIPScorer
+    from coin_tpu.models.clip_resnet import DEPTH_CFG
+    from coin_tpu.models.text_encoder import TextTransformer
+    from coin_tpu.models.tokenizer import ClipTokenizer
+
+    clip_path = cfg.get_path("TPU.CLIP_WEIGHTS", "")
+    vocab = cfg.get_path("TPU.CLIP_BPE_VOCAB", "")
+    if not (clip_path and os.path.exists(clip_path)):
+        raise FileNotFoundError("TPU.CLIP_WEIGHTS missing for re-scoring")
+    depth = cfg.MODEL.RESNETS.DEPTH
+    sd = C.load_torch_state_dict(clip_path)
+    backbone, res5, attnpool = C.convert_clip_visual(
+        sd, DEPTH_CFG[depth]["layers"])
+    scorer = CLIPScorer(depth=depth, compute_dtype=jnp.bfloat16)
+    params = {"backbone": backbone, "res5": res5, "attnpool": attnpool}
+    params = jax.tree.map(jnp.asarray, params)
+    logit_scale = C.logit_scale_from(sd)
+
+    # frozen text features: template-mean prototypes incl background
+    text_params = C.convert_clip_text(sd)
+    trunk = TextTransformer(embed_dim=sd["text_projection"].shape[1],
+                            width=sd["ln_final.weight"].shape[0])
+    tok = ClipTokenizer(vocab)
+    encode = jax.jit(lambda t: trunk.apply(
+        {"params": jax.tree.map(jnp.asarray, text_params)}, t))
+    names = list(class_names) + ["background"]
+    proto = template_prototypes(encode, tok, names,
+                                cfg.DATASETS.STYLE_NAME or "realistic")
+    text_features = jnp.asarray(proto)
+
+    from coin_tpu.data.augment import normalize_batch
+
+    @jax.jit
+    def scorer_apply(images_u8, boxes):
+        images = normalize_batch(images_u8)
+        return scorer.apply({"params": params}, images, boxes,
+                            text_features, jnp.asarray(logit_scale))
+
+    return scorer_apply
+
+
+if __name__ == "__main__":
+    main()
