@@ -101,6 +101,32 @@ class DetectorTrainerBase:
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
         self.metrics = MetricLogger(cfg.OUTPUT_DIR, cfg.SOLVER.MAX_ITER)
 
+        # data-parallel mesh: params replicated, batch dim sharded; XLA
+        # inserts gradient psums (SURVEY §2.8 TPU-native equivalent of DDP).
+        # Mesh size = largest divisor of the batch ≤ the device count, so
+        # odd batch/device combinations degrade gracefully.
+        from coin_tpu.parallel import mesh_utils
+        import jax as _jax
+        n_dev = len(_jax.devices())
+        batch = cfg.SOLVER.IMG_PER_BATCH_UNLABEL
+        n = max(d for d in range(1, min(n_dev, batch) + 1)
+                if batch % d == 0)
+        self.mesh = mesh_utils.data_mesh(n)
+        self._dp = n > 1
+
+    def shard_batch(self, tree):
+        """Device-put batch-leading arrays onto the data axis."""
+        if not self._dp:
+            return tree
+        from coin_tpu.parallel import mesh_utils
+        return mesh_utils.shard_batch(self.mesh, tree)
+
+    def replicate_state(self, state):
+        if not self._dp:
+            return state
+        from coin_tpu.parallel import mesh_utils
+        return mesh_utils.replicate(self.mesh, state)
+
     def init_variables(self):
         canvas = self.train_loader.canvas_hw
         dummy = jnp.zeros((1, *canvas, 3), jnp.float32)

@@ -61,6 +61,7 @@ class PRETrainer(DetectorTrainerBase):
             params=params, frozen=frozen, opt_state=self.tx.init(params),
             step=jnp.asarray(0), rng=jax.random.key(cfg.SEED + 1),
             prototypes=Prototypes(proto0, proto0, proto0))
+        self.state = self.replicate_state(self.state)
         self._train_step = self._build_train_step()
         self.ap_50 = {}
 
@@ -127,12 +128,13 @@ class PRETrainer(DetectorTrainerBase):
         for i in range(start, max_iter):
             batch = next(it)
             update_prototype = (upd_start != -1) and (i >= upd_start)
-            self.state, losses = self._train_step(
-                self.state, jnp.asarray(batch.images),
-                jnp.asarray(batch.image_hw), jnp.asarray(batch.flip),
+            arrays = self.shard_batch((
+                jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
+                jnp.asarray(batch.flip),
                 online_view_to_detections(batch.online["RCNN"]),
-                online_view_to_detections(batch.online["RPN"]),
-                jnp.asarray(update_prototype))
+                online_view_to_detections(batch.online["RPN"])))
+            self.state, losses = self._train_step(
+                self.state, *arrays, jnp.asarray(update_prototype))
             self.metrics.log(i, {k: float(v) for k, v in losses.items()})
             if (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 self.ap_50[i] = self.test()["AP50"]

@@ -76,6 +76,7 @@ class CoinTrainer(DetectorTrainerBase):
             teacher_params=jax.tree.map(jnp.copy, params),
             merge_params=merge_vars["params"],
             merge_opt_state=self.merge_tx.init(merge_vars["params"]))
+        self.state = self.replicate_state(self.state)
         self._train_step = self._build_train_step()
         self.ap_50_student = {}
         self.ap_50_offline_teacher = {}
@@ -205,11 +206,12 @@ class CoinTrainer(DetectorTrainerBase):
         start = int(self.state.step)
         for i in range(start, max_iter):
             batch = next(it)
-            self.state, losses = self._train_step(
-                self.state, jnp.asarray(batch.images),
-                jnp.asarray(batch.image_hw), jnp.asarray(batch.flip),
+            arrays = self.shard_batch((
+                jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
+                jnp.asarray(batch.flip),
                 online_view_to_detections(batch.online["RCNN"]),
-                online_view_to_detections(batch.online["RPN"]))
+                online_view_to_detections(batch.online["RPN"])))
+            self.state, losses = self._train_step(self.state, *arrays)
             self.metrics.log(i, {k: float(v) for k, v in losses.items()})
             if i == cfg.CLOUD.BURN_UP_STEP - 1:
                 self.checkpointer.save(self.state, i,

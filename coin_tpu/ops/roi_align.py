@@ -76,10 +76,18 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray,
     ay = _interp_matrix(y1, bin_h, resolution, sampling_ratio, h)  # (N,R,H)
 
     # out[n,r,s,c] = Σ_h Σ_w ay[n,r,h] f[h,w,c] ax[n,s,w]
-    tmp = jnp.einsum("nrh,hwc->nrwc", ay.astype(dtype), features,
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("nrwc,nsw->nrsc", tmp, ax.astype(tmp.dtype),
-                     preferred_element_type=jnp.float32)
+    # contract the longer spatial dim first: the (N, R, short, C)
+    # intermediate is the memory-traffic hot spot
+    if w >= h:
+        tmp = jnp.einsum("nsw,hwc->nhsc", ax.astype(dtype), features,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("nrh,nhsc->nrsc", ay.astype(tmp.dtype), tmp,
+                         preferred_element_type=jnp.float32)
+    else:
+        tmp = jnp.einsum("nrh,hwc->nrwc", ay.astype(dtype), features,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("nrwc,nsw->nrsc", tmp, ax.astype(tmp.dtype),
+                         preferred_element_type=jnp.float32)
     return out.astype(dtype)
 
 
