@@ -1,0 +1,61 @@
+"""Shape/sanity tests for the GLIP stack (tiny configuration)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coin_tpu.models import glip as G
+from coin_tpu.models.glip_detector import (glip_anchors, postprocess_glip)
+
+
+def test_deform_conv_identity(rng):
+    """Zero offsets + unit center mask ≈ plain 3×3 conv."""
+    x = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 4, 5).astype(np.float32))
+    offsets = jnp.zeros((1, 6, 6, 18))
+    mask = jnp.ones((1, 6, 6, 9))
+    got = G.deform_conv3x3(x, offsets, mask, kernel, None)
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # interior matches exactly; borders differ (deform taps clamp&zero)
+    np.testing.assert_allclose(np.asarray(got)[0, 1:-1, 1:-1],
+                               np.asarray(ref)[0, 1:-1, 1:-1],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_glip_tiny_forward(rng):
+    model = G.GLIP(variant="swinT", num_blocks=1)
+    img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    t = 8
+    embeds = jnp.asarray(rng.randn(1, t, 768).astype(np.float32))
+    mask = jnp.ones((1, t), bool)
+    params = model.init(jax.random.key(0), img, embeds, mask)
+    logits, deltas, centerness, shapes = model.apply(params, img, embeds,
+                                                     mask)
+    total = sum(h * w for h, w in shapes)
+    assert logits.shape == (1, total, t)
+    assert deltas.shape == (1, total, 4)
+    assert centerness.shape == (1, total)
+    anchors = glip_anchors(shapes)
+    assert anchors.shape == (total, 4)
+
+
+def test_glip_postprocess(rng):
+    shapes = [(4, 4), (2, 2), (1, 1), (1, 1), (1, 1)]
+    total = sum(h * w for h, w in shapes)
+    t, c = 8, 2
+    logits = jnp.asarray(rng.randn(total, t).astype(np.float32))
+    deltas = jnp.zeros((total, 4))
+    centerness = jnp.zeros((total,))
+    anchors = jnp.asarray(glip_anchors(shapes))
+    pm = np.zeros((c, t), np.float32)
+    pm[0, 1:3] = 0.5
+    pm[1, 4:6] = 0.5
+    det = postprocess_glip(logits, deltas, centerness, anchors,
+                           jnp.asarray(pm), jnp.asarray([64.0, 64.0]),
+                           num_classes=c, threshold=0.0, pre_topk=16,
+                           capacity=8)
+    got = det.to_numpy()
+    assert got["probs"].shape[-1] == c + 1
+    assert (got["boxes"][:, 2] <= 64.0).all()
