@@ -74,7 +74,7 @@ def _self_suppress(iou_mask: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("tile", "plus1"))
 def _nms_sorted(sboxes: jnp.ndarray, iou_threshold: jnp.ndarray,
-                tile: int = 128, plus1: bool = False) -> jnp.ndarray:
+                tile: int = 256, plus1: bool = False) -> jnp.ndarray:
     """Keep mask over boxes already sorted by descending score.
 
     Suppressed/invalid boxes must be all-zero (they then have zero IoU with
