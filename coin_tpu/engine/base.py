@@ -164,6 +164,7 @@ class DetectorTrainerBase:
         return build_optimizer(params, self.cfg)
 
     def evaluate(self, params, frozen) -> Dict[str, float]:
+        import os
         loader = TestLoader(
             self.cfg.DATASETS.TEST[0], self.cfg.DATASETS.ROOT,
             batch_size=max(self.cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 4),
@@ -171,5 +172,9 @@ class DetectorTrainerBase:
             max_size=self.cfg.INPUT.MAX_SIZE,
             canvas_hw=self.train_loader.canvas_hw)
         variables = merge_params(params, frozen)
+        save_pkl = (os.path.join(self.cfg.OUTPUT_DIR, "detections.pckl")
+                    if self.cfg.get_path("TEST.SAVE_DETECTION_PKLS", False)
+                    else None)
         return evaluate_detector(self.model, variables, loader,
-                                 self.class_tokens, self.pcfg)
+                                 self.class_tokens, self.pcfg,
+                                 save_pkl=save_pkl)

@@ -22,7 +22,8 @@ logger = logging.getLogger(__name__)
 
 def evaluate_detector(model, variables, loader: TestLoader,
                       class_tokens: np.ndarray,
-                      cfg: pipelines.PipelineConfig) -> Dict[str, float]:
+                      cfg: pipelines.PipelineConfig,
+                      save_pkl: Optional[str] = None) -> Dict[str, float]:
     tokens = jnp.asarray(class_tokens)
 
     @jax.jit
@@ -47,6 +48,10 @@ def evaluate_detector(model, variables, loader: TestLoader,
                 batch.gt_boxes[i][gt_valid] / batch.scale[i],
                 batch.gt_classes[i][gt_valid],
                 batch.gt_difficult[i][gt_valid])
+    if save_pkl:
+        from coin_tpu.evaluation.dump import save_detections_pkl
+        save_detections_pkl(evaluator, save_pkl)
+        logger.info("dumped detections to %s", save_pkl)
     results = evaluator.evaluate()
     logger.info("eval: AP50=%.2f AP=%.2f", results["AP50"], results["AP"])
     return results

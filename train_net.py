@@ -73,9 +73,14 @@ def main(argv=None):
     trainer = build_trainer(cfg)
     if args.eval_only:
         trainer.resume_or_load(resume=args.resume)
-        results = trainer.test()
-        from coin_tpu.evaluation import print_csv_format
+        if (args.test_model_role == "teacher"
+                and hasattr(trainer, "test_teacher")):
+            results = trainer.test_teacher()
+        else:
+            results = trainer.test()
+        from coin_tpu.evaluation import print_csv_format, verify_results
         print(print_csv_format(results))
+        verify_results(cfg.TEST.EXPECTED_RESULTS, results)
         return results
     trainer.resume_or_load(resume=args.resume)
     trainer.train()
