@@ -13,11 +13,15 @@ from __future__ import annotations
 import os
 import threading
 import queue as queue_mod
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
+
+# PIL decode/resize release the GIL; a small shared pool keeps the TPU fed
+_DECODE_POOL = ThreadPoolExecutor(max_workers=8)
 
 from coin_tpu.data.voc import DatasetSpec, get_dataset, load_voc_instances
 
@@ -113,9 +117,11 @@ class _BaseLoader:
         gt_diff = np.zeros((b, g), bool)
         flips = (np.zeros(b, bool) if flips is None
                  else np.asarray(flips, bool))
+        loaded = list(_DECODE_POOL.map(
+            lambda i: self.load_image(self.records[i]), indices))
         for j, i in enumerate(indices):
             rec = self.records[i]
-            img, scale, (nh, nw) = self.load_image(rec)
+            img, scale, (nh, nw) = loaded[j]
             images[j] = img
             image_hw[j] = (nh, nw)
             orig_hw[j] = (rec["height"], rec["width"])
