@@ -56,11 +56,21 @@ def collect_cloud(detector: Callable, loader: TestLoader,
                   num_classes: int, nms_method: str = "ms",
                   collect_nms_thresh: float = 0.6,
                   rcnn_thresh: float = 0.25,
-                  rpn_thresh: float = 0.25) -> ResultStore:
+                  rpn_thresh: float = 0.25,
+                  collect_aug: str = "",
+                  min_zoom: int = 320) -> ResultStore:
     """One pass of the cloud detector over ``loader``; detections are
-    stored in ORIGINAL image coordinates."""
+    stored in ORIGINAL image coordinates.
+
+    collect_aug: '' | 'ZOOM' | 'AUG' | 'ZOOM&AUG' — the optional extra
+    collection views (OFF in the paper; gdino_processor.py:184-302).
+    ZOOM runs the detector on a center crop and merges; AUG runs it on a
+    photometric-augmented view and appends to the RPN view.
+    """
     store = ResultStore(num_classes)
     fusion = parse_nms_method(nms_method)
+    use_zoom = "ZOOM" in collect_aug
+    use_aug = "AUG" in collect_aug
 
     @jax.jit
     def postprocess(det: Detections):
@@ -75,19 +85,78 @@ def collect_cloud(detector: Callable, loader: TestLoader,
     for batch, n_valid in loader:
         dets = detector(jnp.asarray(batch.images),
                         jnp.asarray(batch.image_hw))
+        aug_dets = None
+        if use_aug:
+            import jax.random as jrandom
+            from coin_tpu.data.augment import strong_augment_single
+            img = jnp.asarray(batch.images).astype(jnp.float32) / 255.0
+            keys = jrandom.split(jrandom.key(0), img.shape[0])
+            aug = jax.vmap(strong_augment_single)(img, keys)
+            aug_u8 = (aug * 255.0).astype(jnp.uint8)
+            aug_dets = jax.device_get(detector(
+                aug_u8, jnp.asarray(batch.image_hw)))
+        zoom_dets = None
+        zoom_geom = []
+        if use_zoom:
+            from coin_tpu.engine.zoom_merge import center_zoom_box
+            images = np.asarray(batch.images)
+            crops = np.zeros_like(images)
+            for i in range(images.shape[0]):
+                ch, cw = int(batch.image_hw[i][0]), int(
+                    batch.image_hw[i][1])
+                x1, y1, zw, zh = center_zoom_box(ch, cw, min_zoom)
+                zoom_geom.append((x1, y1, zw, zh))
+                crops[i, :zh, :zw] = images[i, y1:y1 + zh, x1:x1 + zw]
+            zoom_hw = jnp.asarray([[g[3], g[2]] for g in zoom_geom],
+                                  jnp.float32)
+            zoom_dets = jax.device_get(detector(jnp.asarray(crops),
+                                                zoom_hw))
         dets = postprocess(dets)
         dets = jax.device_get(dets)
         for i in range(n_valid):
             valid = dets.valid[i]
-            boxes = dets.boxes[i][valid] / batch.scale[i]  # → original
-            classes = dets.classes[i][valid]
-            scores = dets.scores[i][valid]
-            probs = dets.probs[i][valid]
+            ori = {
+                "boxes": dets.boxes[i][valid] / batch.scale[i],
+                "scores": dets.scores[i][valid],
+                "classes": dets.classes[i][valid],
+                "probs": dets.probs[i][valid],
+            }
+            if zoom_dets is not None:
+                from coin_tpu.engine.zoom_merge import merge_zoom
+                zvalid = zoom_dets.valid[i]
+                x1, y1, zw, zh = zoom_geom[i]
+                s = batch.scale[i]
+                zoom = {
+                    "boxes": (zoom_dets.boxes[i][zvalid]
+                              + np.asarray([x1, y1, x1, y1])) / s,
+                    "scores": zoom_dets.scores[i][zvalid],
+                    "classes": zoom_dets.classes[i][zvalid],
+                    "probs": zoom_dets.probs[i][zvalid],
+                }
+                ori = merge_zoom(ori, zoom,
+                                 (int(x1 / s), int(y1 / s),
+                                  int(zw / s), int(zh / s)))
             for view, thresh in (("RCNN", rcnn_thresh),
                                  ("RPN", rpn_thresh)):
-                keep = scores >= thresh
-                store.put(batch.image_ids[i], view, boxes[keep],
-                          classes[keep], scores[keep], probs[keep])
+                keep = ori["scores"] >= thresh
+                boxes = ori["boxes"][keep]
+                classes = ori["classes"][keep]
+                scores = ori["scores"][keep]
+                probs = ori["probs"][keep]
+                if view == "RPN" and aug_dets is not None:
+                    avalid = aug_dets.valid[i]
+                    akeep = aug_dets.scores[i][avalid] >= thresh
+                    boxes = np.concatenate(
+                        [boxes, (aug_dets.boxes[i][avalid]
+                                 / batch.scale[i])[akeep]])
+                    classes = np.concatenate(
+                        [classes, aug_dets.classes[i][avalid][akeep]])
+                    scores = np.concatenate(
+                        [scores, aug_dets.scores[i][avalid][akeep]])
+                    probs = np.concatenate(
+                        [probs, aug_dets.probs[i][avalid][akeep]])
+                store.put(batch.image_ids[i], view, boxes, classes,
+                          scores, probs)
     logger.info("collected cloud results for %d images", len(store))
     return store
 

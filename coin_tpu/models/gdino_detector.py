@@ -118,12 +118,25 @@ class GDINODetector:
 
     def __init__(self, model, params, bert_apply: Callable,
                  class_names: Sequence[str], tokenizer,
-                 threshold: float = 0.25, capacity: int = 256):
+                 threshold: float = 0.25, capacity: int = 256,
+                 per_class_test: bool = False):
+        """per_class_test: one caption per class, C separate forwards,
+        concatenated (MODEL.TEACHER_CLOUD.PER_CLASS_TEST,
+        gdino.py per_class_test mode)."""
         self.model = model
         self.params = params
         self.bert_apply = bert_apply
         self.threshold = threshold
         self.capacity = capacity
+        self.per_class_test = per_class_test
+        if per_class_test:
+            self._sub = [GDINODetector(model, params, bert_apply, [name],
+                                       tokenizer, threshold,
+                                       max(capacity // len(class_names),
+                                           16))
+                         for name in class_names]
+            self._class_names = list(class_names)
+            return
         _, ids, spans = build_captions_and_spans(class_names, tokenizer)
         t = len(ids)
         self.text_ids = ids[None]
@@ -156,6 +169,25 @@ class GDINODetector:
 
     def detect(self, images_u8: jnp.ndarray,
                image_hw: jnp.ndarray) -> Detections:
+        if self.per_class_test:
+            from coin_tpu import structures as S
+            parts = []
+            for ci, sub in enumerate(self._sub):
+                det = sub.detect(images_u8, image_hw)
+                # remap class 0 → ci; probs stay 2-col (fg, bg) per
+                # sub-run, rebuild full row
+                c1 = len(self._class_names) + 1
+                probs = jnp.full(det.classes.shape + (c1,),
+                                 0.0, jnp.float32)
+                fg = det.probs[..., 0]
+                probs = probs.at[..., ci].set(fg)
+                probs = probs.at[..., -1].set(det.probs[..., -1])
+                parts.append(det.replace(
+                    classes=jnp.where(det.valid, ci, -1), probs=probs))
+            out = parts[0]
+            for p in parts[1:]:
+                out = S.concatenate(out, p)
+            return out
         img = images_u8.astype(jnp.float32) / 255.0
         img = (img - self.IMAGENET_MEAN) / self.IMAGENET_STD
         return self._run(img, image_hw)

@@ -58,6 +58,8 @@ def main(argv=None):
     store = collect_mod.collect_cloud(
         detector, loader, len(class_names),
         nms_method=cfg.CLOUD.NMS_METHOD,
+        collect_aug=cfg.INPUT.TEACHER_CLOUD.get("COLLECT_AUG", ""),
+        min_zoom=cfg.INPUT.TEACHER_CLOUD.get("MIN_CENTER_ZOOM_SIZE", 320),
         collect_nms_thresh=cfg.CLOUD.TEACHER_CLOUD.COLLECT_NMS_THRESH,
         rcnn_thresh=cfg.CLOUD.TEACHER_CLOUD.RCNN_THRESH,
         rpn_thresh=cfg.CLOUD.TEACHER_CLOUD.RPN_THRESH
