@@ -128,6 +128,11 @@ def main():
             o, f, 0.5, box_a_w, with_b=True))(online_rcnn, offline)
         matched_rpn = jax.vmap(lambda o, f: match_dual_teacher_single(
             o, f, 0.5, box_a_w, with_b=False))(online_rpn, offline)
+        from coin_tpu.structures import truncate
+        matched_rcnn = matched_rcnn._replace(
+            c=truncate(matched_rcnn.c, 64))
+        matched_rpn = matched_rpn._replace(
+            c=truncate(matched_rpn.c, 64))
 
         def merge_probs_fn(feats_b, p_off, p_on):
             return merge_model.apply({"params": merge_p}, feats_b,

@@ -101,6 +101,29 @@ class _BaseLoader:
         canvas[:nh, :nw] = arr
         return canvas, scale, (nh, nw)
 
+    def _native_decode(self, indices: Sequence[int]):
+        """Batched native JPEG decode+resize (coin_tpu.native); returns
+        None when unavailable or any image isn't a JPEG."""
+        from coin_tpu import native
+        if not native.available():
+            return None
+        blobs, scales = [], []
+        for i in indices:
+            rec = self.records[i]
+            if not rec["file_name"].lower().endswith((".jpg", ".jpeg")):
+                return None
+            with open(rec["file_name"], "rb") as f:
+                blob = f.read()
+            if "height" not in rec:
+                hw = native.jpeg_size(blob)
+                if hw is None:
+                    return None
+                rec["height"], rec["width"] = hw
+            blobs.append(blob)
+            scales.append(_resize_factor(rec["height"], rec["width"],
+                                         self.min_size, self.max_size))
+        return native.decode_batch(blobs, scales, self.canvas_hw), scales
+
     def pack_batch(self, indices: Sequence[int],
                    flips: Optional[np.ndarray] = None) -> Batch:
         b = len(indices)
@@ -117,8 +140,15 @@ class _BaseLoader:
         gt_diff = np.zeros((b, g), bool)
         flips = (np.zeros(b, bool) if flips is None
                  else np.asarray(flips, bool))
-        loaded = list(_DECODE_POOL.map(
-            lambda i: self.load_image(self.records[i]), indices))
+        nat = self._native_decode(indices)
+        if nat is not None and nat[0] is not None:
+            (canvases, out_hw), nat_scales = nat
+            loaded = [(canvases[j], nat_scales[j],
+                       (int(out_hw[j][0]), int(out_hw[j][1])))
+                      for j in range(b)]
+        else:
+            loaded = list(_DECODE_POOL.map(
+                lambda i: self.load_image(self.records[i]), indices))
         for j, i in enumerate(indices):
             rec = self.records[i]
             img, scale, (nh, nw) = loaded[j]

@@ -136,6 +136,15 @@ class CoinTrainer(DetectorTrainerBase):
                     o, f, match_thr, box_a_w, with_b=False)
             )(online_rpn, offline)
 
+            # bound the private-set capacity before the per-box C forward
+            # (real C counts are tens; padded capacity is No+Nf)
+            from coin_tpu.structures import truncate
+            cap_c = cfg.get_path("TPU.CAP_C", 64)
+            matched_rcnn = matched_rcnn._replace(
+                c=truncate(matched_rcnn.c, cap_c))
+            matched_rpn = matched_rpn._replace(
+                c=truncate(matched_rpn.c, cap_c))
+
             update_prototype = ((proto_start != -1)
                                 & (step >= proto_start))
 

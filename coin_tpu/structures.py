@@ -161,6 +161,20 @@ def concatenate(a: Detections, b: Detections) -> Detections:
     )
 
 
+def truncate(d: Detections, capacity: int) -> Detections:
+    """Compact valid rows to the front and keep the first ``capacity``
+    slots (used to bound padded set sizes before expensive per-box
+    compute, e.g. the C-set distillation forward)."""
+    c = compact(d)
+    return Detections(
+        boxes=c.boxes[..., :capacity, :],
+        scores=c.scores[..., :capacity],
+        classes=c.classes[..., :capacity],
+        valid=c.valid[..., :capacity],
+        probs=None if c.probs is None else c.probs[..., :capacity, :],
+    )
+
+
 def compact(d: Detections) -> Detections:
     """Move valid rows to the front (stable), padding to the back.
 
