@@ -85,7 +85,9 @@ class _BaseLoader:
         up = lambda v: int(-(-max(v) // 32) * 32)
         return up(hs), up(ws)
 
-    def load_image(self, rec: dict) -> Tuple[np.ndarray, float]:
+    def load_image(self, rec: dict, canvas_hw=None) -> Tuple[np.ndarray,
+                                                              float]:
+        canvas_hw = canvas_hw or self.canvas_hw
         with Image.open(rec["file_name"]) as im:
             im = im.convert("RGB")
             w, h = im.size
@@ -93,15 +95,15 @@ class _BaseLoader:
             rec.setdefault("width", w)
             scale = _resize_factor(h, w, self.min_size, self.max_size)
             nh, nw = int(round(h * scale)), int(round(w * scale))
-            nh = min(nh, self.canvas_hw[0])
-            nw = min(nw, self.canvas_hw[1])
+            nh = min(nh, canvas_hw[0])
+            nw = min(nw, canvas_hw[1])
             im = im.resize((nw, nh), Image.BILINEAR)
         arr = np.asarray(im, np.uint8)
-        canvas = np.zeros((*self.canvas_hw, 3), np.uint8)
+        canvas = np.zeros((*canvas_hw, 3), np.uint8)
         canvas[:nh, :nw] = arr
         return canvas, scale, (nh, nw)
 
-    def _native_decode(self, indices: Sequence[int]):
+    def _native_decode(self, indices: Sequence[int], canvas_hw=None):
         """Batched native JPEG decode+resize (coin_tpu.native); returns
         None when unavailable or any image isn't a JPEG."""
         from coin_tpu import native
@@ -122,12 +124,14 @@ class _BaseLoader:
             blobs.append(blob)
             scales.append(_resize_factor(rec["height"], rec["width"],
                                          self.min_size, self.max_size))
-        return native.decode_batch(blobs, scales, self.canvas_hw), scales
+        return native.decode_batch(blobs, scales,
+                                   canvas_hw or self.canvas_hw), scales
 
     def pack_batch(self, indices: Sequence[int],
-                   flips: Optional[np.ndarray] = None) -> Batch:
+                   flips: Optional[np.ndarray] = None,
+                   canvas_hw: Optional[Tuple[int, int]] = None) -> Batch:
         b = len(indices)
-        ch, cw = self.canvas_hw
+        ch, cw = canvas_hw or self.canvas_hw
         images = np.zeros((b, ch, cw, 3), np.uint8)
         image_hw = np.zeros((b, 2), np.float32)
         orig_hw = np.zeros((b, 2), np.float32)
@@ -140,7 +144,7 @@ class _BaseLoader:
         gt_diff = np.zeros((b, g), bool)
         flips = (np.zeros(b, bool) if flips is None
                  else np.asarray(flips, bool))
-        nat = self._native_decode(indices)
+        nat = self._native_decode(indices, (ch, cw))
         if nat is not None and nat[0] is not None:
             (canvases, out_hw), nat_scales = nat
             loaded = [(canvases[j], nat_scales[j],
@@ -148,7 +152,8 @@ class _BaseLoader:
                       for j in range(b)]
         else:
             loaded = list(_DECODE_POOL.map(
-                lambda i: self.load_image(self.records[i]), indices))
+                lambda i: self.load_image(self.records[i], (ch, cw)),
+                indices))
         for j, i in enumerate(indices):
             rec = self.records[i]
             img, scale, (nh, nw) = loaded[j]
@@ -204,7 +209,8 @@ class TrainLoader(_BaseLoader):
     def __init__(self, dataset_name: str, root: str, batch_size: int = 3,
                  seed: int = 2024, flip: bool = True, prefetch: int = 2,
                  store=None, store_cap: int = 128,
-                 store_thresh: Optional[float] = None, **kw):
+                 store_thresh: Optional[float] = None,
+                 aspect_buckets: bool = False, **kw):
         super().__init__(dataset_name, root, **kw)
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
@@ -213,6 +219,7 @@ class TrainLoader(_BaseLoader):
         self.store = store
         self.store_cap = store_cap
         self.store_thresh = store_thresh
+        self.aspect_buckets = aspect_buckets
 
     def _attach_store(self, batch: Batch) -> Batch:
         """Pack the cached cloud results for each image in the batch,
@@ -230,19 +237,63 @@ class TrainLoader(_BaseLoader):
         batch.online = views
         return batch
 
+    def _aspect_groups(self):
+        """Split indices into landscape / portrait groups (the
+        AspectRatioGroupedDatasetTwoCrop semantics, coin/data/common.py:
+        4-48): every batch is drawn from one group, so each group gets its
+        own static canvas and the jit specializes per orientation."""
+        land, port = [], []
+        for i, rec in enumerate(self.records):
+            h = rec.get("height")
+            w = rec.get("width")
+            if h is None:
+                with Image.open(rec["file_name"]) as im:
+                    w, h = im.size
+                rec["height"], rec["width"] = h, w
+            (land if w >= h else port).append(i)
+        return [g for g in (land, port) if g]
+
+    def _group_canvas(self, gi: int):
+        if not self.aspect_buckets or not hasattr(self, "_canvases"):
+            return self.canvas_hw
+        return self._canvases[gi]
+
     def _gen(self):
-        n = len(self.records)
-        order = self.rng.permutation(n)
-        pos = 0
+        groups = self._aspect_groups() if self.aspect_buckets \
+            else [list(range(len(self.records)))]
+        if self.aspect_buckets:
+            up = lambda v: int(-(-v // 32) * 32)
+            self._canvases = []
+            for g in groups:
+                hs, ws = [], []
+                for i in g[:64]:
+                    rec = self.records[i]
+                    sc = _resize_factor(rec["height"], rec["width"],
+                                        self.min_size, self.max_size)
+                    hs.append(rec["height"] * sc)
+                    ws.append(rec["width"] * sc)
+                self._canvases.append((up(max(hs)), up(max(ws))))
+        orders = [self.rng.permutation(g) for g in groups]
+        pos = [0] * len(groups)
+        weights = np.asarray([len(g) for g in groups], np.float64)
+        weights = weights / weights.sum()
         while True:
-            if pos + self.batch_size > n:
-                order = self.rng.permutation(n)
-                pos = 0
-            idx = order[pos:pos + self.batch_size]
-            pos += self.batch_size
+            gi = int(self.rng.choice(len(groups), p=weights))
+            if pos[gi] + self.batch_size > len(groups[gi]):
+                orders[gi] = self.rng.permutation(groups[gi])
+                pos[gi] = 0
+                if len(groups[gi]) < self.batch_size:
+                    # tiny group: sample with replacement
+                    idx = self.rng.choice(groups[gi], self.batch_size)
+                else:
+                    idx = orders[gi][:self.batch_size]
+                    pos[gi] = self.batch_size
+            else:
+                idx = orders[gi][pos[gi]:pos[gi] + self.batch_size]
+                pos[gi] += self.batch_size
             flips = (self.rng.rand(len(idx)) < 0.5) if self.flip \
                 else np.zeros(len(idx), bool)
-            batch = self.pack_batch(idx, flips)
+            batch = self.pack_batch(idx, flips, self._group_canvas(gi))
             if self.store is not None:
                 batch = self._attach_store(batch)
             yield batch
