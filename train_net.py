@@ -47,6 +47,8 @@ def setup(args):
                                                    "log.txt"))])
     logging.getLogger(__name__).info("config: %s  trainer: %s",
                                      args.config, cfg.CLOUD.Trainer)
+    from coin_tpu.utils.setup import default_setup
+    default_setup(cfg)
     return cfg
 
 
