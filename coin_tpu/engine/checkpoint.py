@@ -25,12 +25,25 @@ class Checkpointer:
     def _path(self, step: int) -> str:
         return os.path.join(self.dir, f"{self.prefix}_{step:07d}")
 
-    def save(self, state: Any, step: int, name: Optional[str] = None):
+    def save(self, state: Any, step: int, name: Optional[str] = None,
+             extras: Optional[dict] = None):
         path = (os.path.join(self.dir, name) if name
                 else self._path(step))
         self._ckpt.save(path, jax.device_get(state), force=True)
+        if extras:
+            import json
+            with open(path + ".extras.json", "w") as f:
+                json.dump(extras, f)
         logger.info("saved checkpoint: %s", path)
         return path
+
+    def load_extras(self, path: str) -> dict:
+        import json
+        p = path + ".extras.json"
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
 
     def latest_path(self) -> Optional[str]:
         if not os.path.isdir(self.dir):

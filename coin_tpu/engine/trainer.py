@@ -232,7 +232,11 @@ class CoinTrainer(DetectorTrainerBase):
                     self.ap_50_offline_teacher[i] = \
                         self.test_teacher()["AP50"]
             if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
-                self.checkpointer.save(self.state, i + 1)
+                self.checkpointer.save(
+                    self.state, i + 1,
+                    extras={"ap_50_student": self.ap_50_student,
+                            "ap_50_offline_teacher":
+                                self.ap_50_offline_teacher})
         return self.state
 
     def test(self) -> Dict[str, float]:
@@ -249,6 +253,15 @@ class CoinTrainer(DetectorTrainerBase):
         w = self.cfg.MODEL.WEIGHTS
         if resume:
             self.state = self.checkpointer.load_latest(self.state)
+            latest = self.checkpointer.latest_path()
+            if latest:
+                ex = self.checkpointer.load_extras(latest)
+                self.ap_50_student.update(
+                    {int(k): v for k, v in ex.get(
+                        "ap_50_student", {}).items()})
+                self.ap_50_offline_teacher.update(
+                    {int(k): v for k, v in ex.get(
+                        "ap_50_offline_teacher", {}).items()})
             return
         if not w:
             return
