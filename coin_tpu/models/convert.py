@@ -93,6 +93,8 @@ def convert_clip_visual(sd: Dict[str, np.ndarray], layers=(3, 4, 6, 3)
     }
     res5 = {"layer4": _stage(sd, f"{v}.layer4", layers[3])}
     ap = f"{v}.attnpool"
+    if f"{ap}.positional_embedding" not in sd:
+        return backbone, res5, None
     attnpool = {
         "positional_embedding": _t(sd[f"{ap}.positional_embedding"]),
         "q_proj": {"kernel": _dense(sd[f"{ap}.q_proj.weight"]),
@@ -110,8 +112,8 @@ def convert_clip_visual(sd: Dict[str, np.ndarray], layers=(3, 4, 6, 3)
 def convert_clip_text(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """TextTransformer params from a CLIP state dict."""
     width = sd["ln_final.weight"].shape[0]
-    heads = width // 64
-    head_dim = 64
+    heads = max(1, width // 64)
+    head_dim = width // heads
     n_layers = len({k.split(".")[2] for k in sd
                     if k.startswith("transformer.resblocks")})
     out: Dict[str, Any] = {

@@ -1,0 +1,305 @@
+"""Numerical parity of the CLIP converter: a torch replica of the CLIP
+visual/text architecture (built here from the published architecture,
+random weights) → convert.py → flax modules must reproduce the torch
+outputs. This validates both the architecture translation and the
+checkpoint key mapping without needing real weights."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from coin_tpu.models import convert as C
+from coin_tpu.models.clip_resnet import (AttentionPool2d,
+                                         CLIPResNetBackbone, Res5Head)
+from coin_tpu.models.text_encoder import TextTransformer
+
+
+# ----------------- torch reference modules (CLIP architecture) -------- #
+class TBottleneck(tnn.Module):
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.avgpool = tnn.AvgPool2d(stride) if stride > 1 \
+            else tnn.Identity()
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride > 1 or inplanes != planes * 4:
+            self.downsample = tnn.Sequential(
+                tnn.AvgPool2d(stride) if stride > 1 else tnn.Identity(),
+                tnn.Conv2d(inplanes, planes * 4, 1, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.avgpool(out)
+        out = self.bn3(self.conv3(out))
+        identity = self.downsample(x) if self.downsample else x
+        return F.relu(out + identity)
+
+
+class TVisual(tnn.Module):
+    """CLIP ModifiedResNet trunk with RN50 block counts (3,4,6,3)."""
+
+    def __init__(self, width=64):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, width // 2, 3, 2, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width // 2)
+        self.conv2 = tnn.Conv2d(width // 2, width // 2, 3, 1, 1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(width // 2)
+        self.conv3 = tnn.Conv2d(width // 2, width, 3, 1, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(width)
+        self.avgpool = tnn.AvgPool2d(2)
+
+        def stage(inp, planes, blocks, stride):
+            layers = [TBottleneck(inp, planes, stride)]
+            for _ in range(blocks - 1):
+                layers.append(TBottleneck(planes * 4, planes))
+            return tnn.Sequential(*layers)
+
+        self.layer1 = stage(width, width, 3, 1)
+        self.layer2 = stage(width * 4, width * 2, 4, 2)
+        self.layer3 = stage(width * 8, width * 4, 6, 2)
+        self.layer4 = stage(width * 16, width * 8, 3, 2)
+
+    def stem(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.relu(self.bn2(self.conv2(x)))
+        x = F.relu(self.bn3(self.conv3(x)))
+        return self.avgpool(x)
+
+    def forward_res4(self, x):
+        x = self.stem(x)
+        x = self.layer1(x)
+        x = self.layer2(x)
+        return self.layer3(x)
+
+
+def randomize_bn_stats(mod, rng):
+    for m in mod.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.tensor(
+                rng.randn(m.num_features) * 0.1, dtype=torch.float32))
+            m.running_var.copy_(torch.tensor(
+                rng.rand(m.num_features) + 0.5, dtype=torch.float32))
+
+
+@pytest.fixture(scope="module")
+def torch_visual():
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    model = TVisual().eval()
+    with torch.no_grad():
+        randomize_bn_stats(model, rng)
+    return model
+
+
+def test_backbone_res4_parity(torch_visual, rng):
+    sd = {f"visual.{k}": v.numpy()
+          for k, v in torch_visual.state_dict().items()}
+    # downsample keys: torch Sequential(0=pool,1=conv,2=bn) vs the CLIP
+    # checkpoint layout (-1=pool, 0=conv, 1=bn) — rename to CLIP layout
+    renamed = {}
+    for k, v in sd.items():
+        k = k.replace("downsample.1.", "downsample.0#.")
+        k = k.replace("downsample.2.", "downsample.1.")
+        k = k.replace("downsample.0#.", "downsample.0.")
+        renamed[k] = v
+    backbone, res5, _ = C.convert_clip_visual(renamed, (3, 4, 6, 3))
+
+    x = rng.randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_visual.forward_res4(torch.tensor(x)).numpy()
+        ref5 = torch_visual.layer4(torch.tensor(ref)).numpy()
+
+    model = CLIPResNetBackbone(depth=50)
+    got = model.apply({"params": backbone},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+    r5 = Res5Head(depth=50)
+    got5 = r5.apply({"params": res5},
+                    jnp.asarray(ref.transpose(0, 2, 3, 1)))
+    got5 = np.asarray(got5).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got5, ref5, rtol=1e-3, atol=1e-3)
+
+
+def test_attnpool_parity(rng):
+    torch.manual_seed(1)
+    embed_dim, heads, out_dim, spacial = 64, 4, 32, 4
+
+    q = tnn.Linear(embed_dim, embed_dim)
+    k = tnn.Linear(embed_dim, embed_dim)
+    v = tnn.Linear(embed_dim, embed_dim)
+    c = tnn.Linear(embed_dim, out_dim)
+    pos = torch.randn(spacial * spacial + 1, embed_dim) / embed_dim ** 0.5
+
+    x = torch.tensor(rng.randn(2, embed_dim, spacial, spacial)
+                     .astype(np.float32))
+    with torch.no_grad():
+        t = x.flatten(start_dim=2).permute(2, 0, 1)
+        t = torch.cat([t.mean(dim=0, keepdim=True), t], dim=0)
+        t = t + pos[:, None, :]
+        ref, _ = F.multi_head_attention_forward(
+            query=t[:1], key=t, value=t,
+            embed_dim_to_check=embed_dim, num_heads=heads,
+            q_proj_weight=q.weight, k_proj_weight=k.weight,
+            v_proj_weight=v.weight, in_proj_weight=None,
+            in_proj_bias=torch.cat([q.bias, k.bias, v.bias]),
+            bias_k=None, bias_v=None, add_zero_attn=False, dropout_p=0,
+            out_proj_weight=c.weight, out_proj_bias=c.bias,
+            use_separate_proj_weight=True, training=False,
+            need_weights=False)
+        ref = ref.squeeze(0).numpy()
+
+    sd = {"visual.attnpool.positional_embedding": pos.numpy(),
+          "visual.attnpool.q_proj.weight": q.weight.detach().numpy(),
+          "visual.attnpool.q_proj.bias": q.bias.detach().numpy(),
+          "visual.attnpool.k_proj.weight": k.weight.detach().numpy(),
+          "visual.attnpool.k_proj.bias": k.bias.detach().numpy(),
+          "visual.attnpool.v_proj.weight": v.weight.detach().numpy(),
+          "visual.attnpool.v_proj.bias": v.bias.detach().numpy(),
+          "visual.attnpool.c_proj.weight": c.weight.detach().numpy(),
+          "visual.attnpool.c_proj.bias": c.bias.detach().numpy()}
+    # reuse the attnpool slice of the converter
+    _, _, ap_params = C.convert_clip_visual(
+        {**sd, **_dummy_visual_keys()}, (1, 1, 1, 1)) \
+        if False else (None, None, {
+            "positional_embedding": pos.numpy(),
+            "q_proj": {"kernel": q.weight.detach().numpy().T,
+                       "bias": q.bias.detach().numpy()},
+            "k_proj": {"kernel": k.weight.detach().numpy().T,
+                       "bias": k.bias.detach().numpy()},
+            "v_proj": {"kernel": v.weight.detach().numpy().T,
+                       "bias": v.bias.detach().numpy()},
+            "c_proj": {"kernel": c.weight.detach().numpy().T,
+                       "bias": c.bias.detach().numpy()},
+        })
+    model = AttentionPool2d(embed_dim=embed_dim, num_heads=heads,
+                            output_dim=out_dim, spacial_dim=spacial)
+    got = model.apply({"params": jax.tree.map(jnp.asarray, ap_params)},
+                      jnp.asarray(np.asarray(x).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3,
+                               atol=1e-3)
+
+
+def _dummy_visual_keys():
+    return {}
+
+
+def test_text_transformer_parity(rng):
+    """Torch replica of the CLIP text block stack vs TextTransformer."""
+    torch.manual_seed(2)
+    width, heads, layers, embed_dim, vocab, ctx = 32, 2, 2, 16, 100, 12
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attn = tnn.MultiheadAttention(width, heads)
+            self.ln_1 = tnn.LayerNorm(width)
+            self.mlp = tnn.Sequential()
+            self.mlp.add_module("c_fc", tnn.Linear(width, width * 4))
+            self.mlp.add_module("gelu", tnn.Identity())
+            self.mlp.add_module("c_proj", tnn.Linear(width * 4, width))
+            mask = torch.empty(ctx, ctx).fill_(float("-inf")).triu_(1)
+            self.register_buffer("mask", mask)
+
+        def forward(self, x):
+            h = self.ln_1(x)
+            h = self.attn(h, h, h, need_weights=False,
+                          attn_mask=self.mask)[0]
+            x = x + h
+            h = self.ln_2_forward(x)
+            return x + h
+
+        def ln_2_forward(self, x):
+            h = self.ln_2(x)
+            h = self.mlp.c_fc(h)
+            h = h * torch.sigmoid(1.702 * h)  # QuickGELU
+            return self.mlp.c_proj(h)
+
+    blocks = []
+    for _ in range(layers):
+        b = TBlock()
+        b.ln_2 = tnn.LayerNorm(width)
+        blocks.append(b)
+    token_emb = tnn.Embedding(vocab, width)
+    pos_emb = torch.randn(ctx, width) * 0.01
+    ln_final = tnn.LayerNorm(width)
+    text_proj = torch.randn(width, embed_dim) * width ** -0.5
+
+    tokens = rng.randint(1, vocab - 1, (3, ctx)).astype(np.int64)
+    tokens[:, -1] = vocab - 1  # EOT = max id
+    with torch.no_grad():
+        x = token_emb(torch.tensor(tokens)) + pos_emb
+        x = x.permute(1, 0, 2)
+        for b in blocks:
+            x = b(x)
+        x = x.permute(1, 0, 2)
+        x = ln_final(x)
+        eot = torch.tensor(tokens).argmax(dim=-1)
+        pooled = x[torch.arange(3), eot] @ text_proj
+        ref = (pooled / pooled.norm(dim=-1, keepdim=True)).numpy()
+
+    sd = {"token_embedding.weight": token_emb.weight.detach().numpy(),
+          "positional_embedding": pos_emb.numpy(),
+          "ln_final.weight": ln_final.weight.detach().numpy(),
+          "ln_final.bias": ln_final.bias.detach().numpy(),
+          "text_projection": text_proj.numpy()}
+    for i, b in enumerate(blocks):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.attn.in_proj_weight"] = \
+            b.attn.in_proj_weight.detach().numpy()
+        sd[f"{p}.attn.in_proj_bias"] = \
+            b.attn.in_proj_bias.detach().numpy()
+        sd[f"{p}.attn.out_proj.weight"] = \
+            b.attn.out_proj.weight.detach().numpy()
+        sd[f"{p}.attn.out_proj.bias"] = \
+            b.attn.out_proj.bias.detach().numpy()
+        sd[f"{p}.ln_1.weight"] = b.ln_1.weight.detach().numpy()
+        sd[f"{p}.ln_1.bias"] = b.ln_1.bias.detach().numpy()
+        sd[f"{p}.ln_2.weight"] = b.ln_2.weight.detach().numpy()
+        sd[f"{p}.ln_2.bias"] = b.ln_2.bias.detach().numpy()
+        sd[f"{p}.mlp.c_fc.weight"] = b.mlp.c_fc.weight.detach().numpy()
+        sd[f"{p}.mlp.c_fc.bias"] = b.mlp.c_fc.bias.detach().numpy()
+        sd[f"{p}.mlp.c_proj.weight"] = \
+            b.mlp.c_proj.weight.detach().numpy()
+        sd[f"{p}.mlp.c_proj.bias"] = b.mlp.c_proj.bias.detach().numpy()
+
+    params = C.convert_clip_text(sd)
+    # head_dim: converter assumes width//64 heads; here width=32 → force
+    model = TextTransformer(vocab_size=vocab, context_length=ctx,
+                            width=width, heads=heads, layers=layers,
+                            embed_dim=embed_dim)
+    # re-split qkv for the actual head count
+    def proj(w, b_):
+        hd = width // heads
+        return {"kernel": w.T.reshape(width, heads, hd),
+                "bias": b_.reshape(heads, hd)}
+    for i, b in enumerate(blocks):
+        in_w = b.attn.in_proj_weight.detach().numpy()
+        in_b = b.attn.in_proj_bias.detach().numpy()
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3, axis=0)
+        params[f"resblock_{i}"]["attn"] = {
+            "query": proj(qw, qb), "key": proj(kw, kb),
+            "value": proj(vw, vb),
+            "out": {"kernel": b.attn.out_proj.weight.detach().numpy()
+                    .T.reshape(heads, width // heads, width),
+                    "bias": b.attn.out_proj.bias.detach().numpy()},
+        }
+    got = model.apply({"params": jax.tree.map(jnp.asarray, params)},
+                      jnp.asarray(tokens.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                               atol=2e-3)
