@@ -138,11 +138,14 @@ class PatchMerging(nn.Module):
     def __call__(self, x, h: int, w: int):
         b, l, c = x.shape
         x = x.reshape(b, h, w, c)
+        # official Swin pads odd spatial dims before merging
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
         # official Swin concat order: (0::2,0::2),(1::2,0::2),(0::2,1::2),
         # (1::2,1::2)
         x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
-        x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
+        x = x.reshape(b, ((h + 1) // 2) * ((w + 1) // 2), 4 * c)
         x = nn.LayerNorm(name="norm", dtype=jnp.float32)(x).astype(x.dtype)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction",
                         dtype=self.dtype)(x)
@@ -199,5 +202,5 @@ class SwinTransformer(nn.Module):
             if stage < len(cfg["depths"]) - 1:
                 x = PatchMerging(sdim, name=f"layers_{stage}_downsample",
                                  dtype=self.dtype)(x, h, w)
-                h, w = h // 2, w // 2
+                h, w = (h + 1) // 2, (w + 1) // 2
         return outs
