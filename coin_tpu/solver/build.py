@@ -61,20 +61,58 @@ def _path_str(path) -> str:
                     for p in path)
 
 
-def build_optimizer(params, cfg, overrides: Dict[str, float] = None):
+def make_schedule(sol):
+    """LR schedule dispatch (coin/solver/build.py:24-59)."""
+    name = sol.get("LR_SCHEDULER_NAME", "WarmupTwoStageMultiStepLR")
+    if name == "WarmupTwoStageMultiStepLR":
+        return two_stage_lr_schedule(
+            sol.BASE_LR, sol.STEPS, sol.FACTOR_LIST, sol.WARMUP_ITERS,
+            sol.WARMUP_FACTOR)
+    if name == "WarmupMultiStepLR":
+        gamma = sol.get("GAMMA", 0.1)
+        factors = [gamma ** i for i in range(len(sol.STEPS) + 1)]
+        return two_stage_lr_schedule(
+            sol.BASE_LR, sol.STEPS, factors, sol.WARMUP_ITERS,
+            sol.WARMUP_FACTOR)
+    if name == "WarmupCosineLR":
+        warm = optax.linear_schedule(
+            sol.BASE_LR * sol.WARMUP_FACTOR, sol.BASE_LR,
+            sol.WARMUP_ITERS)
+        cos = optax.cosine_decay_schedule(
+            sol.BASE_LR, max(sol.MAX_ITER - sol.WARMUP_ITERS, 1))
+        return optax.join_schedules([warm, cos], [sol.WARMUP_ITERS])
+    raise ValueError(f"unknown scheduler: {name}")
+
+
+# named param groups (coin/solver/build.py only_text_encoder dispatch):
+# 'all' trains everything; 'cls' only the text-encoder side
+# (learnable prompts); 'backbone' everything except it
+GROUP_FILTERS = {
+    "all": {},
+    "cls": {"": 0.0, "prompted_text": 1.0},
+    "backbone": {"prompted_text": 0.0},
+}
+
+
+def build_optimizer(params, cfg, overrides: Dict[str, float] = None,
+                    name: str = "all"):
     """SGD + schedule + per-path multipliers for a param pytree.
 
     Returns optax.GradientTransformation; multipliers are baked in via a
     mask-scaled transform chain so a single update call covers all groups.
+    ``name`` selects the reference's named param groups.
     """
     sol = cfg.SOLVER
     overrides = overrides if overrides is not None else (
         sol.PER_MODULE_PARAM_WEIGHT[0] if sol.PER_MODULE_PARAM_WEIGHT
         else {})
+    # group exclusions are applied AFTER config multipliers so they win
+    # (later substring keys override earlier ones)
+    merged = dict(overrides)
+    merged.update(GROUP_FILTERS[name])
+    overrides = merged
 
-    schedule = two_stage_lr_schedule(
-        sol.BASE_LR, sol.STEPS, sol.FACTOR_LIST, sol.WARMUP_ITERS,
-        sol.WARMUP_FACTOR)
+    schedule = make_schedule(sol)
 
     mults = jax.tree_util.tree_map_with_path(
         lambda p, _: lr_multiplier_for_path(_path_str(p), overrides), params)
