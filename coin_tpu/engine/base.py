@@ -137,7 +137,9 @@ class DetectorTrainerBase:
         if clip_path:
             from coin_tpu.engine.clip_setup import load_clip_into_variables
             variables, _ = load_clip_into_variables(
-                variables, clip_path, self.cfg.MODEL.RESNETS.DEPTH)
+                variables, clip_path, self.cfg.MODEL.RESNETS.DEPTH,
+                region_clip_path=self.cfg.get_path(
+                    "TPU.REGION_CLIP_WEIGHTS", ""))
         return variables
 
     def init_prototypes(self, variables) -> jnp.ndarray:

@@ -125,10 +125,28 @@ def template_prototypes(encode_text, tokenizer: ClipTokenizer,
 
 
 def load_clip_into_variables(variables: Dict, clip_path: str,
-                             depth: int = 50) -> Tuple[Dict, float]:
+                             depth: int = 50,
+                             region_clip_path: str = "") -> Tuple[Dict,
+                                                                  float]:
     """Overwrite backbone/res5/attnpool/text_trunk params with converted
-    CLIP weights; returns (variables, logit_scale)."""
+    CLIP weights; returns (variables, logit_scale).
+
+    When ``region_clip_path`` is given, visual weights come from a
+    RegionCLIP checkpoint ('backbone.*' keys) and text weights from its
+    'lang_encoder.*' keys (MODEL.REGION_CLIP path, clip_backbone.py:
+    108-125 + clip_text.py:122-135); the OpenAI checkpoint still provides
+    logit_scale."""
     sd = C.load_torch_state_dict(clip_path)
+    if region_clip_path:
+        rsd = C.load_torch_state_dict(region_clip_path)
+        remapped = {}
+        for k, v in rsd.items():
+            if k.startswith("backbone."):
+                remapped["visual." + k[len("backbone."):]] = v
+            elif k.startswith("lang_encoder."):
+                remapped[k[len("lang_encoder."):]] = v
+        remapped["logit_scale"] = sd["logit_scale"]
+        sd = remapped
     from coin_tpu.models.clip_resnet import DEPTH_CFG
     layers = DEPTH_CFG[depth]["layers"]
     backbone, res5, attnpool = C.convert_clip_visual(sd, layers)
