@@ -24,13 +24,11 @@ from coin_tpu.models.convert_gdino import (_conv, _gn, _lin, _ln,
 logger = logging.getLogger(__name__)
 
 
-def _dyconv(sd, p_weight, p_offset):
-    out = {
+def _dyconv(sd, p_weight):
+    return {
         "kernel": _t(sd[f"{p_weight}.weight"]).transpose(2, 3, 1, 0),
         "bias": _t(sd[f"{p_weight}.bias"]),
-        "offset": _conv(sd, p_offset),
     }
-    return out
 
 
 def convert_glip(sd: Dict[str, Any], variant: str = "swinL",
@@ -73,7 +71,9 @@ def convert_glip(sd: Dict[str, Any], variant: str = "swinL",
                              ("dyconv_low", 2)):
             w = f"{fp}.dyconv.DyConv.{theirs}"
             if f"{w}.weight" in sd:
-                blk[ours] = _dyconv(sd, w, f"{fp}.dyconv.offset")
+                blk[ours] = _dyconv(sd, w)
+        if f"{fp}.dyconv.offset.weight" in sd:
+            blk["dyconv_offset"] = _conv(sd, f"{fp}.dyconv.offset")
         if f"{fp}.dyconv.attnconv.fc.weight" in sd:
             blk["scale_attn_fc"] = _lin(sd, f"{fp}.dyconv.attnconv.fc")
         out[f"dyhead_{i}"] = blk

@@ -89,16 +89,14 @@ def deform_conv3x3(x: jnp.ndarray, offsets: jnp.ndarray,
 
 
 class DyConv(nn.Module):
-    """One deformable conv branch (offset net + DCNv2 kernel)."""
+    """One deformable conv branch (DCNv2 kernel; offsets/mask supplied by
+    the block-level offset net — official GLIP computes one offset field
+    per level, shared across the three branches)."""
     channels: int = HIDDEN
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, stride: int = 1):
-        off = nn.Conv(27, (3, 3), strides=(stride, stride), padding=1,
-                      name="offset", dtype=jnp.float32)(x)
-        offsets = off[..., :18]
-        mask = jax.nn.sigmoid(off[..., 18:])
+    def __call__(self, x, offsets, mask, stride: int = 1):
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (3, 3, x.shape[-1], self.channels))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
@@ -144,19 +142,34 @@ class VLDyHeadBlock(nn.Module):
             start += h * w
 
         # ---- DyConv across neighboring levels with scale attention ----
+        # one offset/mask field per level, from the current level's
+        # feature, shared by all three branches (official GLIP DyConv)
+        offset_net = nn.Conv(27, (3, 3), padding=1, name="dyconv_offset",
+                             dtype=jnp.float32)
         dy_mid = DyConv(name="dyconv_mid", dtype=self.dtype)
         dy_low = DyConv(name="dyconv_low", dtype=self.dtype)
         dy_high = DyConv(name="dyconv_high", dtype=self.dtype)
         scale_fc = nn.Dense(1, name="scale_attn_fc", dtype=jnp.float32)
 
+        fields = []
+        for f in out_feats:
+            off = offset_net(f)
+            fields.append((off[..., :18], jax.nn.sigmoid(off[..., 18:])))
+
         fused_levels = []
         for lvl, f in enumerate(out_feats):
-            branches = [dy_mid(f)]
+            offsets, mask = fields[lvl]
+            branches = [dy_mid(f, offsets, mask)]
             if lvl > 0:
-                branches.append(dy_low(out_feats[lvl - 1], stride=2)
+                # lower (higher-res) level sampled at stride 2 with THIS
+                # level's offset field (already at output resolution)
+                lo = out_feats[lvl - 1]
+                branches.append(dy_low(lo, offsets, mask, stride=2)
                                 [:, :f.shape[1], :f.shape[2]])
             if lvl < len(out_feats) - 1:
-                up = dy_high(out_feats[lvl + 1])
+                hi = out_feats[lvl + 1]
+                hoff, hmask = fields[lvl + 1]
+                up = dy_high(hi, hoff, hmask)
                 up = jax.image.resize(
                     up, (b, f.shape[1], f.shape[2], HIDDEN), "nearest")
                 branches.append(up)
