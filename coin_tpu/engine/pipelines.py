@@ -47,10 +47,6 @@ class PipelineConfig:
     bg_train: bool = True
     stride: int = 16
 
-    def loss_weights(self) -> Dict[str, float]:
-        return dict(self._loss_weights) if hasattr(self, "_loss_weights") \
-            else {}
-
 
 def _anchors_for(images: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
     h, w = images.shape[1] // cfg.stride, images.shape[2] // cfg.stride

@@ -173,19 +173,41 @@ def convert_gdino(sd: Dict[str, Any], variant: str = "swinB",
     return out
 
 
-def bert_params_from_checkpoint(sd: Dict[str, Any]):
-    """Extract bert.* weights and convert to a FlaxBertModel params tree
-    via transformers' pt→flax utility."""
+def infer_bert_config(bert_sd: Dict[str, Any]):
+    """Derive BertConfig geometry from a state dict's shapes."""
+    from transformers import BertConfig
+
+    emb = np.asarray(bert_sd["embeddings.word_embeddings.weight"])
+    vocab, hidden = emb.shape
+    layers = len({k.split(".")[2] for k in bert_sd
+                  if k.startswith("encoder.layer.")})
+    inter = np.asarray(
+        bert_sd["encoder.layer.0.intermediate.dense.weight"]).shape[0]
+    max_pos = np.asarray(
+        bert_sd["embeddings.position_embeddings.weight"]).shape[0]
+    heads = max(1, hidden // 64)
+    return BertConfig(vocab_size=vocab, hidden_size=hidden,
+                      num_hidden_layers=layers,
+                      num_attention_heads=heads,
+                      intermediate_size=inter,
+                      max_position_embeddings=max_pos)
+
+
+def bert_params_from_checkpoint(sd: Dict[str, Any],
+                                prefix: str = "bert."):
+    """Extract ``prefix``* weights and convert to a FlaxBertModel params
+    tree via transformers' pt→flax utility (config inferred from
+    shapes)."""
     import torch
-    from transformers import BertConfig, FlaxBertModel
+    from transformers import FlaxBertModel
     from transformers.modeling_flax_pytorch_utils import (
         convert_pytorch_state_dict_to_flax)
 
     sd = clean_state_dict(sd)
-    bert_sd = {k[len("bert."):]: (torch.as_tensor(v)
-                                  if not hasattr(v, "numpy") else v)
-               for k, v in sd.items() if k.startswith("bert.")}
-    config = BertConfig()  # bert-base-uncased geometry
+    bert_sd = {k[len(prefix):]: (torch.as_tensor(v)
+                                 if not hasattr(v, "numpy") else v)
+               for k, v in sd.items() if k.startswith(prefix)}
+    config = infer_bert_config(bert_sd)
     model = FlaxBertModel(config, _do_init=True)
     flax_params = convert_pytorch_state_dict_to_flax(bert_sd, model)
     return model, flax_params

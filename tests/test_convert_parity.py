@@ -303,3 +303,31 @@ def test_text_transformer_parity(rng):
                       jnp.asarray(tokens.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
                                atol=2e-3)
+
+
+def test_bert_conversion_parity(rng):
+    """bert_params_from_checkpoint: torch BertModel → FlaxBertModel via
+    the converter reproduces torch last-hidden-states."""
+    from transformers import BertConfig, BertModel
+    from coin_tpu.models.convert_gdino import bert_params_from_checkpoint
+
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=40)
+    torch.manual_seed(5)
+    tmodel = BertModel(cfg).eval()
+    ids = rng.randint(1, 100, (2, 10)).astype(np.int64)
+    mask = np.ones((2, 10), np.int64)
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(ids),
+                     attention_mask=torch.tensor(mask)
+                     ).last_hidden_state.numpy()
+
+    sd = {f"bert.{k}": v for k, v in tmodel.state_dict().items()}
+    fmodel, fparams = bert_params_from_checkpoint(sd)
+    got = fmodel.module.apply({"params": fparams},
+                              jnp.asarray(ids), jnp.asarray(mask))[0]
+    # heads differ (converter assumes hidden//64=0→1 vs torch's 2): use
+    # the inferred config path — must match exactly when heads divide
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3,
+                               atol=2e-3)
