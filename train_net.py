@@ -24,12 +24,17 @@ def parse_args(argv=None):
                    choices=["student", "teacher"])
     p.add_argument("--data-root", default=None,
                    help="override DATASETS.ROOT")
+    p.add_argument("--device", default=None,
+                   help="force a JAX platform (cpu/tpu)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[],
                    help="KEY VALUE config overrides")
     return p.parse_args(argv)
 
 
 def setup(args):
+    if args.device:
+        import jax
+        jax.config.update("jax_platforms", args.device)
     from coin_tpu.config import load_config
     cfg = load_config(args.config or None, args.opts)
     if args.data_root:
