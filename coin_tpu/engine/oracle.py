@@ -86,7 +86,9 @@ class OracleTrainer(DetectorTrainerBase):
                 jnp.asarray(batch.gt_classes),
                 jnp.asarray(batch.gt_valid)))
             self.state, losses = self._train_step(self.state, *arrays)
-            self.metrics.log(i, {k: float(v) for k, v in losses.items()})
+            metrics = {k: float(v) for k, v in losses.items()}
+            metrics.update({"lr": float(self.schedule(i))})
+            self.metrics.log(i, metrics)
             if (i + 1) % self.cfg.TEST.EVAL_PERIOD == 0:
                 self.ap_50[i] = self.test()["AP50"]
             if (i + 1) % self.cfg.SOLVER.CHECKPOINT_PERIOD == 0:

@@ -135,7 +135,9 @@ class PRETrainer(DetectorTrainerBase):
                 online_view_to_detections(batch.online["RPN"])))
             self.state, losses = self._train_step(
                 self.state, *arrays, jnp.asarray(update_prototype))
-            self.metrics.log(i, {k: float(v) for k, v in losses.items()})
+            metrics = {k: float(v) for k, v in losses.items()}
+            metrics.update({"lr": float(self.schedule(i))})
+            self.metrics.log(i, metrics)
             if (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 self.ap_50[i] = self.test()["AP50"]
             if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:

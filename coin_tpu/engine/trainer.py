@@ -221,7 +221,9 @@ class CoinTrainer(DetectorTrainerBase):
                 online_view_to_detections(batch.online["RCNN"]),
                 online_view_to_detections(batch.online["RPN"])))
             self.state, losses = self._train_step(self.state, *arrays)
-            self.metrics.log(i, {k: float(v) for k, v in losses.items()})
+            metrics = {k: float(v) for k, v in losses.items()}
+            metrics.update({"lr": float(self.schedule(i)), "merge_lr": float(self.schedule(i))})
+            self.metrics.log(i, metrics)
             if i == cfg.CLOUD.BURN_UP_STEP - 1:
                 self.checkpointer.save(self.state, i,
                                        name=f"burn_up_{i:07d}")
