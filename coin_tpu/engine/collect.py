@@ -77,9 +77,11 @@ def collect_cloud(detector: Callable, loader: TestLoader,
         if fusion is not None:
             return jax.vmap(lambda d: nms_ops.fusion_nms(
                 d, collect_nms_thresh, fusion[0], fusion[1]))(det)
+        # plain NMS path = detectron2 batched_nms (half-open IoU); the +1
+        # convention is only used inside the fusion NMS
         keep = jax.vmap(lambda d: nms_ops.nms_keep_mask(
             d.boxes, d.scores, d.valid, collect_nms_thresh,
-            classes=d.classes, plus1=True))(det)
+            classes=d.classes))(det)
         return det.mask(keep)
 
     for batch, n_valid in loader:
