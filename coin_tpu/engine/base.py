@@ -87,6 +87,10 @@ class DetectorTrainerBase:
             from coin_tpu.engine.clip_setup import setup_clip_assets
             self.class_tokens, self.clip_tokenizer = setup_clip_assets(
                 cfg, self.train_loader.spec.class_names)
+        import jax.numpy as _jnp
+        compute_dtype = {"bfloat16": _jnp.bfloat16,
+                         "float32": _jnp.float32}[
+            cfg.get_path("TPU.COMPUTE_DTYPE", "bfloat16")]
         self.model = OpenVocabularyRCNN(
             num_classes=self.num_classes,
             depth=cfg.MODEL.RESNETS.DEPTH,
@@ -95,6 +99,7 @@ class DetectorTrainerBase:
             text_layers=cfg.get_path("TPU.TEXT_LAYERS", 12),
             text_width=cfg.get_path("TPU.TEXT_WIDTH", 512),
             text_heads=cfg.get_path("TPU.TEXT_HEADS", 8),
+            compute_dtype=compute_dtype,
         )
         self.pcfg = pipeline_config_from(cfg, self.num_classes)
         self.loss_weights = loss_weights_from(cfg)

@@ -75,6 +75,7 @@ def setup(tmp_path_factory):
     cfg.TPU.TEXT_LAYERS = 1
     cfg.TPU.TEXT_WIDTH = 32
     cfg.TPU.TEXT_HEADS = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.CAP_TEACHER = 8
     cfg.CLOUD.BURN_UP_STEP = 2          # step_two kicks in at iter 2
     cfg.CLOUD.PROTOTYPE_UPDATE_START = 1

@@ -47,6 +47,7 @@ def cfg(tmp_path_factory):
     cfg.TPU.TEXT_LAYERS = 1
     cfg.TPU.TEXT_WIDTH = 32
     cfg.TPU.TEXT_HEADS = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
     return cfg
 
 
