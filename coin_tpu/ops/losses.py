@@ -86,17 +86,22 @@ def cosine_rows(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1,
 
 def gradient_discrepancy(grads_a, grads_b) -> jnp.ndarray:
     """1 − mean cosine between two gradient pytrees (coin/utils/losses.py:
-    75-96). ``grads_a`` is the detached branch (stop-gradient applied by the
-    caller); per-parameter: matrices use row-wise cosine then mean, vectors
-    use a single cosine; final loss averages over parameters."""
+    75-96): per parameter, matrices use a per-output-unit cosine then
+    mean, vectors a single cosine; the loss averages over parameters.
+    ``grads_a`` is the detached branch.
+
+    NOTE: torch Linear weights are (out, in) and the reference takes
+    cosine over dim=1 (per output row); flax kernels are (in, out), so
+    matrices here reduce over axis 0 (per output column).
+    """
     sims = []
     for ga, gb in zip(jax.tree_util.tree_leaves(grads_a),
                       jax.tree_util.tree_leaves(grads_b)):
         ga = jax.lax.stop_gradient(ga)
         if ga.ndim > 1:
-            ga2 = ga.reshape(ga.shape[0], -1)
-            gb2 = gb.reshape(gb.shape[0], -1)
-            sims.append(jnp.mean(cosine_rows(ga2, gb2)))
+            ga2 = ga.reshape(-1, ga.shape[-1])
+            gb2 = gb.reshape(-1, gb.shape[-1])
+            sims.append(jnp.mean(cosine_rows(ga2, gb2, axis=0)))
         else:
             sims.append(cosine_rows(ga, gb))
     return 1.0 - jnp.mean(jnp.stack(sims))

@@ -97,15 +97,17 @@ def test_kl_div_matches_torch(rng):
 
 
 def test_gradient_discrepancy_matches_torch(rng):
-    # two tiny "grad pytrees": a matrix and a bias, as from an MLP layer
+    # two tiny "grad pytrees": a flax (in, out) kernel and a bias; the
+    # torch reference weight is the transpose (out, in) with cosine over
+    # dim=1 (per output unit, coin/utils/losses.py:89-92)
     ga = {"w": rng.randn(8, 4).astype(np.float32),
           "b": rng.randn(8).astype(np.float32)}
     gb = {"w": rng.randn(8, 4).astype(np.float32),
           "b": rng.randn(8).astype(np.float32)}
     got = L.gradient_discrepancy(jax.tree.map(jnp.asarray, ga),
                                  jax.tree.map(jnp.asarray, gb))
-    sim_w = F.cosine_similarity(torch.tensor(ga["w"]),
-                                torch.tensor(gb["w"]), dim=1).mean()
+    sim_w = F.cosine_similarity(torch.tensor(ga["w"].T),
+                                torch.tensor(gb["w"].T), dim=1).mean()
     sim_b = F.cosine_similarity(torch.tensor(ga["b"]),
                                 torch.tensor(gb["b"]), dim=0)
     ref = (1.0 - torch.stack([sim_b, sim_w]).mean()).item()
