@@ -10,6 +10,8 @@ from __future__ import annotations
 import logging
 from typing import Dict, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np

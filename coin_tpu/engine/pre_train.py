@@ -10,6 +10,8 @@ import logging
 import os
 from typing import Dict, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
