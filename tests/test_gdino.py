@@ -106,3 +106,38 @@ def test_gdino_forward_and_postprocess(rng):
     got = det.to_numpy()
     assert got["probs"].shape[-1] == 3  # 2 classes + bg
     np.testing.assert_allclose(got["probs"].sum(-1), 1.0, rtol=1e-5)
+
+
+def test_postprocess_gdino_formulas(rng):
+    """Numerical check of the probability construction (gdino.py:162-203):
+    per-class prob = positive-map matmul of sigmoids; bg column = 1-max;
+    renormalized via softmax(log p); boxes cxcywh->xyxy scaled."""
+    nq, t = 6, 8
+    logits = rng.randn(nq, t).astype(np.float32)
+    boxes = rng.uniform(0.2, 0.6, (nq, 4)).astype(np.float32)
+    pm = np.zeros((2, t), np.float32)
+    pm[0, 1:3] = 0.5
+    pm[1, 4] = 1.0
+    det = postprocess_gdino(jnp.asarray(logits), jnp.asarray(boxes),
+                            jnp.asarray(pm), jnp.asarray([100.0, 200.0]),
+                            threshold=0.0, capacity=nq)
+    sig = 1.0 / (1.0 + np.exp(-logits))
+    fg = sig @ pm.T
+    cls = fg.argmax(1)
+    raw = np.concatenate(
+        [np.maximum(fg, 1e-6),
+         np.clip(1.0 - fg.max(1, keepdims=True), 1e-6, 1.0)], axis=1)
+    ref_probs = raw / raw.sum(1, keepdims=True)  # softmax(log p)
+    got = jax.device_get(det)
+    # rows are re-ordered by validity compaction; compare as sets via
+    # matching classes+probs rows
+    order = np.argsort(~np.asarray(det.valid), kind="stable")
+    np.testing.assert_allclose(got.probs, ref_probs, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(got.classes, cls)
+    # box scaling: cx*w etc with (h=100, w=200)
+    cx, cy, bw, bh = boxes[0]
+    np.testing.assert_allclose(
+        got.boxes[0],
+        [cx * 200 - bw * 200 / 2, cy * 100 - bh * 100 / 2,
+         cx * 200 + bw * 200 / 2, cy * 100 + bh * 100 / 2], rtol=1e-4)
