@@ -107,7 +107,7 @@ def main():
     from coin_tpu.data.augment import preprocess_batch
 
     @jax.jit
-    def adaptation_step(params, teacher, merge_p, opt_state,
+    def adaptation_step(params, frozen, teacher, merge_p, opt_state,
                         merge_opt_state, protos, rng, step):
         step_two = step >= 10
         rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
@@ -174,7 +174,7 @@ def main():
     rng = jax.random.key(2)
     step = jnp.asarray(0)
     merge_p = merge_vars["params"]
-    out = adaptation_step(params, teacher, merge_p, opt_state,
+    out = adaptation_step(params, frozen, teacher, merge_p, opt_state,
                           merge_opt_state, protos, rng, step)
     jax.block_until_ready(out[-1])
     (params, teacher, merge_p, opt_state, merge_opt_state, protos, rng,
@@ -183,7 +183,7 @@ def main():
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = adaptation_step(params, teacher, merge_p, opt_state,
+        out = adaptation_step(params, frozen, teacher, merge_p, opt_state,
                               merge_opt_state, protos, rng, step)
         (params, teacher, merge_p, opt_state, merge_opt_state, protos,
          rng, step, loss) = out
