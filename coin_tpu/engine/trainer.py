@@ -271,6 +271,11 @@ class CoinTrainer(DetectorTrainerBase):
             return
         paths = w.split("+")
         pre = paths[0]
+        if len(paths) == 2 and os.path.exists(paths[1]):
+            # 'pretrain_ckpt+collect_store' form (trainer.py:222-235)
+            self.store = ResultStore.load(paths[1])
+            self.train_loader.store = self.store
+            logger.info("loaded collect store from %s", paths[1])
         if os.path.exists(pre):
             restored = self.checkpointer.load(pre, self.state)
             # take params + prototypes from the pretrain checkpoint;
