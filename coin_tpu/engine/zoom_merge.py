@@ -42,11 +42,18 @@ def _cat(*dets) -> Dict:
 
 def center_zoom_box(h: int, w: int, min_zoom: int = 320
                     ) -> Tuple[int, int, int, int]:
-    """Center crop geometry (COLLECTMapper zoom math,
-    coin/data/dataset_mapper.py:291-301): half-size crop, at least
-    min_zoom on the short side."""
-    ch = max(h // 2, min(min_zoom, h))
-    cw = max(w // 2, min(min_zoom, w))
+    """Center crop geometry (GDINOZOOM, coin/data/transforms/
+    augmentation_impl.py:46-61): aspect-preserving center crop with the
+    short side = min_zoom."""
+    ratio = w / h
+    if ratio >= 1:
+        cw = int(round(min_zoom * ratio))
+        ch = min_zoom
+    else:
+        cw = min_zoom
+        ch = int(round(min_zoom / ratio))
+    cw = min(cw, w)
+    ch = min(ch, h)
     y1 = (h - ch) // 2
     x1 = (w - cw) // 2
     return x1, y1, cw, ch

@@ -52,9 +52,10 @@ def npdet(boxes, classes, scores, c1=3):
 
 
 def test_center_zoom_geometry():
+    # GDINOZOOM: short side = min_zoom, aspect preserved (ratio 2.0)
     x1, y1, cw, ch = center_zoom_box(600, 1200, 320)
-    assert cw == 600 and ch == 320
-    assert x1 == 300 and y1 == 140
+    assert ch == 320 and cw == 640
+    assert x1 == (1200 - 640) // 2 and y1 == (600 - 320) // 2
 
 
 def test_merge_zoom_basic():
