@@ -46,6 +46,8 @@ def pipeline_config_from(cfg, num_classes: int) -> pipelines.PipelineConfig:
         bg_weight=(cfg.CLOUD.CLASSES_WEIGHT[-1]
                    if cfg.CLOUD.CLASSES_WEIGHT else 1.0),
         loss_type=cfg.CLOUD.LOSS_TYPE,
+        classes_weight=(tuple(cfg.CLOUD.CLASSES_WEIGHT)
+                        if cfg.CLOUD.CLASSES_WEIGHT else None),
         bg_train=cfg.CLOUD.BG_TRAIN,
     )
 

@@ -97,9 +97,17 @@ def pretrain_losses(model, variables, images, images_hw,
     sp_f = rh.SampledProposals(*[_flat(x) for x in sp])
     scores_f = _flat(scores)
     losses["loss_text_align"] = text_align_loss(text, proto)
-    losses["loss_cls"] = rh.classification_loss(
-        scores_f, sp_f, cfg.num_classes, cfg.bg_weight, cfg.loss_type,
-        prob_weighted=prob_weighted)
+    # loss_cls is gated on any sampled foreground across the batch
+    # (fast_rcnn.py:390-396)
+    any_fg = jnp.any(sp_f.group == rh.GROUP_A)
+    cw = (jnp.asarray(cfg.classes_weight)
+          if cfg.classes_weight else None)
+    losses["loss_cls"] = jnp.where(
+        any_fg,
+        rh.classification_loss(scores_f, sp_f, cfg.num_classes,
+                               cfg.bg_weight, cfg.loss_type,
+                               classes_weight=cw,
+                               prob_weighted=prob_weighted), 0.0)
     losses["loss_box_reg"] = rh.box_reg_loss(
         sp_f, _flat(deltas), cfg.num_classes, use_online_classes=False)
 
@@ -175,8 +183,11 @@ def student_forward(model, variables, images, images_hw,
     c_valid_f = _flat(matched_rcnn.c.valid)
 
     losses["loss_text_align"] = text_align_loss(text, proto)
+    cw = (jnp.asarray(cfg.classes_weight)
+          if cfg.classes_weight else None)
     losses["loss_cls"] = rh.classification_loss(
-        scores_f, sp_f, cfg.num_classes, cfg.bg_weight, cfg.loss_type)
+        scores_f, sp_f, cfg.num_classes, cfg.bg_weight, cfg.loss_type,
+        classes_weight=cw)
 
     # C-box probability distillation (fast_rcnn.py:540-545)
     any_c = jnp.any(c_valid_f)

@@ -44,6 +44,7 @@ class PipelineConfig:
     # loss weights (CLOUD.* in the reference config)
     bg_weight: float = 1.0
     loss_type: str = "MILCrossEntropy"
+    classes_weight: Optional[Tuple[float, ...]] = None  # focal alpha
     bg_train: bool = True
     stride: int = 16
 
