@@ -79,7 +79,9 @@ class CoinTrainer(DetectorTrainerBase):
             merge_params=merge_vars["params"],
             merge_opt_state=self.merge_tx.init(merge_vars["params"]))
         self.state = self.replicate_state(self.state)
-        self._train_step = self._build_train_step()
+        self._train_step, self._train_step_cached = \
+            self._build_train_step()
+        self.teacher_store = None
         self.ap_50_student = {}
         self.ap_50_offline_teacher = {}
 
@@ -106,27 +108,8 @@ class CoinTrainer(DetectorTrainerBase):
         cls_b_thresh = cfg.CLOUD.CLS_B_THRESH
         weights = self.loss_weights
 
-        @jax.jit
-        def train_step(state: TrainState, images_u8, image_hw, flip,
-                       online_rcnn, online_rpn):
-            step = state.step
-            step_two = step >= burn_up
-            rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
-            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
-
-            # ---- EMA teacher update (trainer.py:169-172) ----
-            do_ema = step_two & ((step - burn_up) % ema_every == 0)
-            teacher = jax.tree.map(
-                lambda t, s: jnp.where(
-                    do_ema, t * ema_rate + s * (1.0 - ema_rate), t),
-                state.teacher_params, state.params)
-
-            # ---- offline teacher forward on the weak view ----
-            teacher_vars = merge_params(teacher, state.frozen)
-            offline = pipelines.inference(model, teacher_vars, weak,
-                                          image_hw, tokens, pcfg)
-            offline = jax.lax.stop_gradient(offline)
-
+        def step_body(state, strong, image_hw, online_rcnn, online_rpn,
+                      offline, teacher, rng, rng_fwd, step, step_two):
             # ---- dual-teacher matching (A/B/C) ----
             box_a_w = jnp.where(step_two, 0.5, 1.0)
             matched_rcnn = jax.vmap(
@@ -207,14 +190,108 @@ class CoinTrainer(DetectorTrainerBase):
                 merge_params=merge_p, merge_opt_state=merge_opt_state)
             return new_state, losses
 
-        return train_step
+        @jax.jit
+        def train_step(state: TrainState, images_u8, image_hw, flip,
+                       online_rcnn, online_rpn):
+            step = state.step
+            step_two = step >= burn_up
+            rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
+            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+
+            # ---- EMA teacher update (trainer.py:169-172) ----
+            do_ema = step_two & ((step - burn_up) % ema_every == 0)
+            teacher = jax.tree.map(
+                lambda t, s: jnp.where(
+                    do_ema, t * ema_rate + s * (1.0 - ema_rate), t),
+                state.teacher_params, state.params)
+
+            # ---- offline teacher forward on the weak view ----
+            teacher_vars = merge_params(teacher, state.frozen)
+            offline = pipelines.inference(model, teacher_vars, weak,
+                                          image_hw, tokens, pcfg)
+            offline = jax.lax.stop_gradient(offline)
+            return step_body(state, strong, image_hw, online_rcnn,
+                             online_rpn, offline, teacher, rng, rng_fwd,
+                             step, step_two)
+
+        @jax.jit
+        def train_step_cached(state: TrainState, images_u8, image_hw,
+                              flip, online_rcnn, online_rpn, offline):
+            """step_one with the teacher's per-image predictions served
+            from a one-time collection cache — valid because the teacher
+            is FROZEN until burn-up (trainer.py:169-172), so recomputing
+            its forward every step (as the reference does) is redundant.
+            """
+            step = state.step
+            rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
+            strong, _ = preprocess_batch(images_u8, flip, rng_aug)
+            return step_body(state, strong, image_hw, online_rcnn,
+                             online_rpn, offline, state.teacher_params,
+                             rng, rng_fwd, step, jnp.asarray(False))
+
+        return train_step, train_step_cached
 
     # ------------------------------------------------------------- #
+    def collect_teacher_store(self):
+        """One inference pass of the (frozen, pre-burn-up) teacher over
+        the unlabeled train set → per-image cache in original coords."""
+        from coin_tpu.data.augment import normalize_batch
+        from coin_tpu.data.loader import TestLoader
+        from coin_tpu.engine.results_store import ResultStore
+
+        loader = TestLoader(
+            self.cfg.DATASETS.TRAIN_UNLABEL[0], self.cfg.DATASETS.ROOT,
+            batch_size=max(self.cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 4),
+            min_size=self.cfg.INPUT.MIN_SIZE_TRAIN,
+            max_size=self.cfg.INPUT.MAX_SIZE,
+            canvas_hw=self.train_loader.canvas_hw)
+        variables = merge_params(self.state.teacher_params,
+                                 self.state.frozen)
+        tokens = jnp.asarray(self.class_tokens)
+        pcfg = self.pcfg
+
+        @jax.jit
+        def infer(images_u8, hw):
+            return pipelines.inference(self.model, variables,
+                                       normalize_batch(images_u8), hw,
+                                       tokens, pcfg)
+
+        store = ResultStore(self.num_classes)
+        for batch, n_valid in loader:
+            dets = jax.device_get(infer(jnp.asarray(batch.images),
+                                        jnp.asarray(batch.image_hw)))
+            for i in range(n_valid):
+                valid = dets.valid[i]
+                store.put(batch.image_ids[i], "RCNN",
+                          dets.boxes[i][valid] / batch.scale[i],
+                          dets.classes[i][valid],
+                          dets.scores[i][valid], dets.probs[i][valid])
+        logger.info("cached teacher predictions for %d images",
+                    len(store))
+        return store
+
+    def _pack_offline(self, batch):
+        import numpy as np
+        cap = self.pcfg.test_topk
+        per = [self.teacher_store.pack_view(
+            batch.image_ids[j], "RCNN", cap, float(batch.scale[j]),
+            bool(batch.flip[j]), float(batch.image_hw[j][1]))
+            for j in range(len(batch.image_ids))]
+        return {k: np.stack([p[k] for p in per]) for k in per[0]}
+
     def train(self, max_iter: Optional[int] = None):
         cfg = self.cfg
         max_iter = max_iter or cfg.SOLVER.MAX_ITER
         it = iter(self.train_loader)
         start = int(self.state.step)
+        burn_up = cfg.CLOUD.BURN_UP_STEP
+        # cache the frozen teacher's predictions for the step_one phase
+        # (worth it only for long phases; the live path is exact parity)
+        min_steps = cfg.get_path("TPU.CACHE_TEACHER_MIN_STEPS", 500)
+        use_cache = (cfg.get_path("TPU.CACHE_TEACHER", True)
+                     and burn_up - start >= min_steps)
+        if use_cache and self.teacher_store is None:
+            self.teacher_store = self.collect_teacher_store()
         for i in range(start, max_iter):
             batch = next(it)
             arrays = self.shard_batch((
@@ -222,7 +299,14 @@ class CoinTrainer(DetectorTrainerBase):
                 jnp.asarray(batch.flip),
                 online_view_to_detections(batch.online["RCNN"]),
                 online_view_to_detections(batch.online["RPN"])))
-            self.state, losses = self._train_step(self.state, *arrays)
+            if use_cache and i < burn_up:
+                offline = online_view_to_detections(
+                    self._pack_offline(batch))
+                self.state, losses = self._train_step_cached(
+                    self.state, *arrays, offline)
+            else:
+                self.state, losses = self._train_step(self.state,
+                                                      *arrays)
             metrics = {k: float(v) for k, v in losses.items()}
             metrics.update({"lr": float(self.schedule(i)), "merge_lr": float(self.schedule(i))})
             self.metrics.log(i, metrics)

@@ -115,3 +115,18 @@ def test_coin_trainer_steps(coin_trainer):
 def test_coin_eval_runs(coin_trainer):
     res = coin_trainer.test()
     assert "AP50" in res
+
+
+def test_coin_trainer_cached_teacher(setup):
+    """The step_one teacher-prediction cache: collection pass runs, the
+    cached jitted step trains, and losses stay finite."""
+    cfg, store = setup
+    cfg = cfg.clone()
+    cfg.MODEL.MERGE_DIM = 1024
+    cfg.CLOUD.BURN_UP_STEP = 10
+    cfg.TPU.CACHE_TEACHER_MIN_STEPS = 1
+    tr = CoinTrainer(cfg, store=store)
+    state = tr.train(max_iter=2)
+    assert tr.teacher_store is not None
+    assert len(tr.teacher_store) == 6  # all train images cached
+    assert int(state.step) == 2
