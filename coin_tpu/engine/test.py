@@ -65,7 +65,7 @@ class StoreEvalTrainer:
 
 
 def build_eval_trainer(cfg, name: str):
-    if name in ("GDINO_test", "GLIP_test", "ModelZoo_test"):
+    if name in ("GDINO_test", "GLIP_test"):
         return StoreEvalTrainer(cfg)
     if name == "CLIP_test":
         return StoreEvalTrainer(cfg)  # CLIP-rescored store via COLLECT_FILE

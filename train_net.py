@@ -68,7 +68,14 @@ def build_trainer(cfg):
     if name == "CoinTrainer":
         from coin_tpu.engine.trainer import CoinTrainer
         return CoinTrainer(cfg)
-    if name in ("GDINO_test", "GLIP_test", "CLIP_test", "ModelZoo_test"):
+    if name == "ModelZoo_test":
+        # evaluate a released targetDET checkpoint (scripts/modelzoo/*)
+        from coin_tpu.engine.results_store import ResultStore
+        from coin_tpu.engine.trainer import CoinTrainer
+        from coin_tpu.data.voc import get_dataset
+        spec = get_dataset(cfg.DATASETS.TEST[0])
+        return CoinTrainer(cfg, store=ResultStore(len(spec.class_names)))
+    if name in ("GDINO_test", "GLIP_test", "CLIP_test"):
         from coin_tpu.engine.test import build_eval_trainer
         return build_eval_trainer(cfg, name)
     raise ValueError(f"unknown CLOUD.Trainer: {name}")
