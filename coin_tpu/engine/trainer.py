@@ -221,6 +221,13 @@ class CoinTrainer(DetectorTrainerBase):
             from a one-time collection cache — valid because the teacher
             is FROZEN until burn-up (trainer.py:169-172), so recomputing
             its forward every step (as the reference does) is redundant.
+
+            Note: the cache is collected on the unflipped canvas and
+            re-projected per batch (like the cloud store); on flipped
+            samples this equals the live path up to the detector's flip
+            equivariance — an augmentation-level approximation, not a
+            bitwise one. Disable via TPU.CACHE_TEACHER for exact
+            reference stepping.
             """
             step = state.step
             rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)

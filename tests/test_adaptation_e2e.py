@@ -130,3 +130,35 @@ def test_coin_trainer_cached_teacher(setup):
     assert tr.teacher_store is not None
     assert len(tr.teacher_store) == 6  # all train images cached
     assert int(state.step) == 2
+
+
+def test_cached_step_matches_live_on_unflipped_batch(setup):
+    """On an unflipped batch pre-burn-up, the cached-teacher step must
+    reproduce the live step's losses (same rng streams; offline dets
+    from the cache equal the live inference up to re-projection
+    rounding)."""
+    import jax
+    import coin_tpu.engine.pre_train as pt
+    cfg, store = setup
+    cfg = cfg.clone()
+    cfg.MODEL.MERGE_DIM = 1024
+    cfg.CLOUD.BURN_UP_STEP = 100
+    cfg.TPU.CACHE_TEACHER_MIN_STEPS = 1
+    tr = CoinTrainer(cfg, store=store)
+    tr.teacher_store = tr.collect_teacher_store()
+
+    it = iter(tr.train_loader)
+    batch = next(it)
+    batch.flip[:] = False
+    # rebuild online packs without flip
+    batch = tr.train_loader._attach_store(batch)
+    arrays = (jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
+              jnp.asarray(batch.flip),
+              pt.online_view_to_detections(batch.online["RCNN"]),
+              pt.online_view_to_detections(batch.online["RPN"]))
+    offline = pt.online_view_to_detections(tr._pack_offline(batch))
+    _, live = tr._train_step(tr.state, *arrays)
+    _, cached = tr._train_step_cached(tr.state, *arrays, offline)
+    for k in live:
+        np.testing.assert_allclose(float(cached[k]), float(live[k]),
+                                   rtol=2e-2, atol=2e-3, err_msg=k)
