@@ -26,6 +26,15 @@ def parse_args(argv=None):
                    help="override DATASETS.ROOT")
     p.add_argument("--device", default=None,
                    help="force a JAX platform (cpu/tpu)")
+    # reference-CLI compatibility (the JAX runtime replaces the
+    # detectron2 multi-process launcher; these are accepted and ignored)
+    p.add_argument("--num-gpus", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--num-machines", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--machine-rank", type=int, default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--dist-url", default=None, help=argparse.SUPPRESS)
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[],
                    help="KEY VALUE config overrides")
     return p.parse_args(argv)
