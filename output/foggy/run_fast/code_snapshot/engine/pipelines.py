@@ -1,0 +1,141 @@
+"""Pure forward/loss pipelines composing the detector's neural parts with
+the masked target/ops layer. Each trainer's jitted step is built from
+these. (They replace the branch logic inside clip_rcnn.py forward /
+clip_roi_heads.py / fast_rcnn.py losses.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coin_tpu.models import roi_heads as rh
+from coin_tpu.models import rpn as rpn_lib
+from coin_tpu.models.anchors import grid_anchors
+from coin_tpu.ops import boxes as box_ops
+from coin_tpu.ops import losses as L
+from coin_tpu.structures import Detections
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    num_classes: int
+    # RPN
+    rpn_batch_size: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_thresholds: Tuple[float, float] = (0.3, 0.7)
+    rpn_nms_thresh: float = 0.7
+    pre_nms_topk_train: int = 6000
+    post_nms_topk_train: int = 1000
+    pre_nms_topk_test: int = 6000
+    post_nms_topk_test: int = 1000
+    # ROI
+    roi_batch_size: int = 512
+    roi_positive_fraction: float = 0.25
+    roi_iou_threshold: float = 0.5
+    pooler_resolution: int = 14
+    # test
+    test_score_thresh: float = 0.05
+    test_nms_thresh: float = 0.5
+    test_topk: int = 100
+    # loss weights (CLOUD.* in the reference config)
+    bg_weight: float = 1.0
+    loss_type: str = "MILCrossEntropy"
+    classes_weight: Optional[Tuple[float, ...]] = None  # focal alpha
+    bg_train: bool = True
+    stride: int = 16
+
+
+def _anchors_for(images: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+    h, w = images.shape[1] // cfg.stride, images.shape[2] // cfg.stride
+    return jnp.asarray(grid_anchors(h, w, cfg.stride))
+
+
+def rpn_forward(model, variables, feats, images_hw, anchors,
+                cfg: PipelineConfig, train: bool):
+    obj, deltas = model.apply(variables, feats, method="rpn")
+    proposals = rpn_lib.predict_proposals(
+        anchors, jax.lax.stop_gradient(obj), jax.lax.stop_gradient(deltas),
+        images_hw,
+        cfg.pre_nms_topk_train if train else cfg.pre_nms_topk_test,
+        cfg.post_nms_topk_train if train else cfg.post_nms_topk_test,
+        cfg.rpn_nms_thresh)
+    return obj, deltas, proposals
+
+
+def oracle_train_losses(model, variables, images, images_hw,
+                        gt: Detections, class_tokens: jnp.ndarray,
+                        rng: jax.Array, cfg: PipelineConfig
+                        ) -> Dict[str, jnp.ndarray]:
+    """Supervised oracle branch: standard Faster-RCNN losses with the
+    cosine classifier (fast_rcnn_oracle.py:316-356 + plain RPN)."""
+    b = images.shape[0]
+    feats = model.apply(variables, images, method="features")
+    anchors = _anchors_for(images, cfg)
+    obj, rpn_deltas, proposals = rpn_forward(model, variables, feats,
+                                             images_hw, anchors, cfg, True)
+
+    rng_rpn, rng_roi = jax.random.split(rng)
+    rpn_targets = jax.vmap(
+        lambda g, k: rpn_lib.label_anchors_single(
+            anchors, g, None, k, cfg.rpn_batch_size,
+            cfg.rpn_positive_fraction, cfg.rpn_thresholds)
+    )(gt, jax.random.split(rng_rpn, b))
+    losses = rpn_lib.rpn_losses(anchors, obj, rpn_deltas, rpn_targets,
+                                cfg.rpn_batch_size)
+
+    sp = jax.vmap(
+        lambda p, g, k: rh.sample_proposals_single(
+            p, g, None, None, cfg.num_classes, k, cfg.roi_batch_size,
+            cfg.roi_positive_fraction, cfg.roi_iou_threshold)
+    )(proposals, gt, jax.random.split(rng_roi, b))
+
+    pooled = model.apply(variables, feats, sp.boxes,
+                         cfg.pooler_resolution, method="pool_boxes")
+    text = model.apply(variables, class_tokens, method="text_features")
+    scores, deltas, _ = model.apply(variables, pooled, text,
+                                    method="predict")
+
+    flat = lambda a: a.reshape((-1,) + a.shape[2:])
+    sp_flat = rh.SampledProposals(*[flat(x) for x in sp])
+    scores_f = flat(scores)
+    valid = sp_flat.group != rh.GROUP_PAD
+    labels = jnp.clip(sp_flat.cls_offline, 0, cfg.num_classes)
+    logp = jax.nn.log_softmax(scores_f, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    losses["loss_cls"] = L.masked_mean(ce, valid)
+    losses["loss_box_reg"] = rh.box_reg_loss(sp_flat, flat(deltas),
+                                             cfg.num_classes,
+                                             use_online_classes=False)
+    return losses
+
+
+def inference(model, variables, images, images_hw,
+              class_tokens: jnp.ndarray, cfg: PipelineConfig,
+              text_features: Optional[jnp.ndarray] = None) -> Detections:
+    """Test branch (clip_rcnn.py:381-426 → fast_rcnn_inference).
+
+    Returns batched Detections in canvas coordinates (caller rescales to
+    original image size on host)."""
+    feats = model.apply(variables, images, method="features")
+    anchors = _anchors_for(images, cfg)
+    _, _, proposals = rpn_forward(model, variables, feats, images_hw,
+                                  anchors, cfg, False)
+    pooled = model.apply(variables, feats, proposals.boxes,
+                         cfg.pooler_resolution, method="pool_boxes")
+    if text_features is None:
+        text_features = model.apply(variables, class_tokens,
+                                    method="text_features")
+    scores, deltas, _ = model.apply(variables, pooled, text_features,
+                                    method="predict")
+    probs = jax.nn.softmax(scores, axis=-1)
+    boxes = box_ops.decode_deltas(proposals.boxes, deltas,
+                                  rh.BOX_REG_WEIGHTS)
+    return jax.vmap(
+        lambda bx, pr, v, hw: rh.fast_rcnn_inference_single(
+            bx, pr, v, hw, cfg.test_score_thresh, cfg.test_nms_thresh,
+            cfg.test_topk)
+    )(boxes, probs, proposals.valid, images_hw)

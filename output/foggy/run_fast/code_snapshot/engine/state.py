@@ -1,0 +1,112 @@
+"""Functional train state + parameter partitioning.
+
+The reference mutates module buffers and keeps four separate nn.Modules in
+an EnsembleTSModel (coin/modeling/meta_arch/ts_ensemble.py). Here ALL
+evolving state is one pytree:
+
+    TrainState(params, frozen, opt_state, step, rng, prototypes,
+               teacher_params, merge_params, merge_opt_state)
+
+- ``params``    — trainable student leaves (what jax.grad differentiates).
+- ``frozen``    — frozen leaves (text trunk, FrozenBN stats, optionally the
+  visual backbone). Merged back before apply; excluded from grads so XLA
+  never builds their backward pass.
+- EMA teacher update (ts_ensemble.py:38-69) is a pure tree_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+from flax.core import freeze, unfreeze
+
+
+def partition_params(variables: Dict, is_frozen: Callable[[str], bool]
+                     ) -> Tuple[Dict, Dict]:
+    """Split a flax variables['params'] tree into (trainable, frozen) by a
+    path predicate ('/'-joined lowercase path)."""
+    flat = traverse_util.flatten_dict(unfreeze(variables["params"]))
+    train, frozen = {}, {}
+    for k, v in flat.items():
+        path = "/".join(k)
+        (frozen if is_frozen(path) else train)[k] = v
+    return (traverse_util.unflatten_dict(train),
+            traverse_util.unflatten_dict(frozen))
+
+
+def merge_params(params: Dict, frozen: Dict) -> Dict:
+    flat = dict(traverse_util.flatten_dict(params))
+    flat.update(traverse_util.flatten_dict(frozen))
+    return {"params": traverse_util.unflatten_dict(flat)}
+
+
+def default_freeze_predicate(update_backbone: bool = True
+                             ) -> Callable[[str], bool]:
+    """Freeze policy of the reference (clip_backbone.py:203-234 +
+    clip_text.py freeze_encoder): text trunk always frozen; every FrozenBN
+    leaf frozen; backbone stem/layer1-3 frozen unless UPDATE_BACKBONE."""
+
+    def pred(path: str) -> bool:
+        p = path.lower()
+        if "text_trunk" in p:
+            return True
+        if "/bn" in p or p.startswith("bn") or "downsample_bn" in p:
+            return True
+        if not update_backbone and "backbone/" in p and "layer4" not in p:
+            return True
+        return False
+
+    return pred
+
+
+def ema_update(teacher: Dict, student: Dict, keep_rate: float) -> Dict:
+    """Mean-teacher EMA: t ← s·(1−k) + t·k (ts_ensemble.py:58-63)."""
+    return jax.tree.map(
+        lambda t, s: t * keep_rate + s.astype(t.dtype) * (1.0 - keep_rate),
+        teacher, student)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Prototypes:
+    """Evolving class-prototype buffers (clip_text.py:262-279 buffers +
+    fast_rcnn.py:399-517 EMA updates)."""
+    proto: jnp.ndarray            # per_class_feat (C+1, D)
+    b_online: jnp.ndarray
+    b_offline: jnp.ndarray
+
+
+def prototype_ema(current: jnp.ndarray, feats: jnp.ndarray,
+                  one_hot: jnp.ndarray, valid: jnp.ndarray,
+                  rate: float) -> jnp.ndarray:
+    """EMA class-mean update (fast_rcnn.py:399-412): classes present in the
+    batch move toward the batch class-mean of (normalized) features; absent
+    classes keep their value."""
+    oh = jnp.where(valid[:, None], one_hot, 0.0)
+    counts = jnp.sum(oh, axis=0)                       # (C+1,)
+    sums = oh.T @ feats.astype(jnp.float32)            # (C+1, D)
+    mean = sums / jnp.maximum(counts, 1.0)[:, None]
+    present = (counts > 0)[:, None]
+    new = jnp.where(present, mean, current)
+    return current * rate + (1.0 - rate) * new
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    frozen: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+    prototypes: Optional[Prototypes] = None
+    teacher_params: Optional[Any] = None
+    merge_params: Optional[Any] = None
+    merge_opt_state: Optional[Any] = None
+
+    def replace(self, **kw) -> "TrainState":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,199 @@
+"""CLIP ModifiedResNet backbone, TPU-native (NHWC, bf16-friendly).
+
+Semantics mirror the reference CLIP-ResNet used by COIN
+(coin/modeling/utils.py:26-292): 3-conv stem with a trailing 2x2 avg-pool,
+anti-aliased strides (AvgPool before every stride-2 conv), frozen
+BatchNorm everywhere (inference statistics — detection batches are tiny),
+C4 layout: the backbone emits res4; layer4 (res5) is applied inside the ROI
+heads on pooled features; AttentionPool2d is the final CLIP pooling.
+
+Weight compatibility: parameter naming matches OpenAI CLIP's state dict
+closely enough that `coin_tpu.models.convert.load_clip_visual` can map a
+CLIP checkpoint into this pytree mechanically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+# channel/stride tables per depth (coin/modeling/utils.py:190-207)
+DEPTH_CFG = {
+    50: dict(layers=(3, 4, 6, 3), width=64, heads=32, out_dim=1024),
+    101: dict(layers=(3, 4, 23, 3), width=64, heads=32, out_dim=512),
+    200: dict(layers=(4, 6, 10, 6), width=80, heads=40, out_dim=640),  # RN50x4
+}
+
+
+class FrozenBN(nn.Module):
+    """BatchNorm with frozen statistics: y = (x-mean)·γ/√(var+ε)+β.
+
+    All four tensors are stored as parameters so CLIP weights can be loaded
+    verbatim; none of them is ever trained (frozen via the solver's param
+    partitioning).
+    """
+    features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros,
+                          (self.features,))
+        var = self.param("running_var", nn.initializers.ones,
+                         (self.features,))
+        mul = (scale / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        add = (bias - mean * scale / jnp.sqrt(var + self.eps)).astype(
+            self.dtype)
+        return x * mul + add
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
+                   name=name, dtype=dtype)
+
+
+def _avgpool2(x, k):
+    return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+class Bottleneck(nn.Module):
+    """CLIP bottleneck: 1x1 → 3x3 → (avgpool if stride>1) → 1x1·4; the
+    downsample path is avgpool → 1x1 conv (anti-aliased stride,
+    coin/modeling/utils.py:26-90)."""
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
+        out = nn.relu(FrozenBN(self.planes, name="bn1",
+                               dtype=self.dtype)(out))
+        out = _conv(self.planes, 3, name="conv2", dtype=self.dtype)(out)
+        out = nn.relu(FrozenBN(self.planes, name="bn2",
+                               dtype=self.dtype)(out))
+        if self.stride > 1:
+            out = _avgpool2(out, self.stride)
+        out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
+        out = FrozenBN(self.planes * 4, name="bn3", dtype=self.dtype)(out)
+
+        if self.stride > 1 or x.shape[-1] != self.planes * 4:
+            identity = _avgpool2(x, self.stride) if self.stride > 1 else x
+            identity = _conv(self.planes * 4, 1, name="downsample_conv",
+                             dtype=self.dtype)(identity)
+            identity = FrozenBN(self.planes * 4, name="downsample_bn",
+                                dtype=self.dtype)(identity)
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
+
+class ResStage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.planes, self.stride, name="0",
+                       dtype=self.dtype)(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, name=str(i), dtype=self.dtype)(x)
+        return x
+
+
+class CLIPResNetBackbone(nn.Module):
+    """Stem + layer1..layer3 → res4 feature (stride 16, C4 detection
+    layout). Input NHWC, already normalized with CLIP statistics."""
+    depth: int = 50
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = DEPTH_CFG[self.depth]
+        w = cfg["width"]
+        x = x.astype(self.dtype)
+        x = _conv(w // 2, 3, 2, name="conv1", dtype=self.dtype)(x)
+        x = nn.relu(FrozenBN(w // 2, name="bn1", dtype=self.dtype)(x))
+        x = _conv(w // 2, 3, name="conv2", dtype=self.dtype)(x)
+        x = nn.relu(FrozenBN(w // 2, name="bn2", dtype=self.dtype)(x))
+        x = _conv(w, 3, name="conv3", dtype=self.dtype)(x)
+        x = nn.relu(FrozenBN(w, name="bn3", dtype=self.dtype)(x))
+        x = _avgpool2(x, 2)
+        x = ResStage(w, cfg["layers"][0], name="layer1", dtype=self.dtype)(x)
+        x = ResStage(w * 2, cfg["layers"][1], 2, name="layer2",
+                     dtype=self.dtype)(x)
+        x = ResStage(w * 4, cfg["layers"][2], 2, name="layer3",
+                     dtype=self.dtype)(x)
+        return x  # res4: stride 16, channels width*16
+
+
+class Res5Head(nn.Module):
+    """layer4 — applied to RoIAligned features inside the ROI heads (C4
+    pattern; reference applies backbone.layer4 in _shared_roi_transform,
+    coin/modeling/roi_heads/clip_roi_heads.py:172-176)."""
+    depth: int = 50
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = DEPTH_CFG[self.depth]
+        return ResStage(cfg["width"] * 8, cfg["layers"][3], 2, name="layer4",
+                        dtype=self.dtype)(x)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP attention pooling (coin/modeling/utils.py:93-126): prepend the
+    spatial mean token, add positional embedding, one cross-attention step
+    with the mean token as the single query."""
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+    spacial_dim: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, H, W, C)
+        n, h, w, c = x.shape
+        tokens = x.reshape(n, h * w, c)
+        mean = jnp.mean(tokens, axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean, tokens], axis=1)  # (N, HW+1, C)
+
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(1.0 / c ** 0.5),
+                         (self.spacial_dim ** 2 + 1, c))
+        if h * w != self.spacial_dim ** 2:
+            # interpolate the spatial part of the positional embedding
+            side = self.spacial_dim
+            spatial = pos[1:].reshape(side, side, c)
+            spatial = jax.image.resize(spatial, (h, w, c), method="bilinear")
+            pos = jnp.concatenate([pos[:1], spatial.reshape(h * w, c)],
+                                  axis=0)
+        tokens = tokens + pos[None].astype(tokens.dtype)
+
+        dense = lambda d, nm: nn.Dense(d, name=nm)
+        q = dense(self.embed_dim, "q_proj")(tokens[:, :1])
+        k = dense(self.embed_dim, "k_proj")(tokens)
+        v = dense(self.embed_dim, "v_proj")(tokens)
+
+        hd = self.embed_dim // self.num_heads
+        split = lambda t: t.reshape(n, -1, self.num_heads, hd)
+        q, k, v = split(q), split(k), split(v)
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = jnp.astype(attn, jnp.float32) / np.sqrt(hd)
+        attn = nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v)
+        out = out.reshape(n, 1, self.embed_dim)[:, 0]
+        return nn.Dense(self.output_dim, name="c_proj")(out)

@@ -1,0 +1,126 @@
+"""OpenVocabularyRCNN — the CLIPDET / targetDET meta-architecture.
+
+TPU-native re-design of coin/modeling/meta_arch/clip_rcnn.py:187-426:
+CLIP-ResNet C4 backbone → RPN head → RoIAlign(res4) → res5 →
+mean/attention pool → cosine classifier against learnable-prompt text
+features + class-agnostic box regression.
+
+This linen module holds only the *neural* computations; branch logic,
+target assembly and losses are pure functions (coin_tpu.models.roi_heads /
+rpn) composed by the engine's jitted train steps. All evolving non-param
+state (prototypes, EMA teacher) lives in the engine's TrainState.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coin_tpu.models.clip_resnet import (AttentionPool2d, CLIPResNetBackbone,
+                                         DEPTH_CFG, Res5Head)
+from coin_tpu.models.rpn import RPNHead
+from coin_tpu.models.roi_heads import BoxPredictor
+from coin_tpu.models.text_encoder import PromptedTextEncoder, TextTransformer
+from coin_tpu.ops.roi_align import roi_align
+
+# CLIP text-feature dims per visual backbone (fast_rcnn.py:283)
+TEXT_DIMS = {50: 1024, 101: 512, 200: 640}
+
+
+class OpenVocabularyRCNN(nn.Module):
+    num_classes: int                  # foreground classes
+    depth: int = 50
+    pooling: str = "meanpool"         # 'meanpool' | 'attnpool'
+    num_anchors: int = 15
+    add_prompt_num: int = 4
+    prompt_tmp_len: int = 4
+    text_layers: int = 12
+    text_width: int = 512
+    text_heads: int = 8
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = DEPTH_CFG[self.depth]
+        self.text_dim = TEXT_DIMS[self.depth]
+        self.backbone = CLIPResNetBackbone(self.depth,
+                                           dtype=self.compute_dtype)
+        self.rpn_head = RPNHead(self.num_anchors, dtype=self.compute_dtype)
+        self.res5 = Res5Head(self.depth, dtype=self.compute_dtype)
+        if self.pooling == "attnpool":
+            self.attnpool = AttentionPool2d(
+                embed_dim=cfg["width"] * 32, num_heads=cfg["heads"],
+                output_dim=self.text_dim)
+            feat_dim = self.text_dim
+        else:
+            feat_dim = cfg["width"] * 32  # res5 channels (2048 for RN50)
+        self.box_predictor = BoxPredictor(self.text_dim)
+        self.text_trunk = TextTransformer(
+            width=self.text_width, heads=self.text_heads,
+            layers=self.text_layers, embed_dim=self.text_dim,
+            dtype=self.compute_dtype)
+        self.prompted_text = PromptedTextEncoder(
+            trunk=self.text_trunk, num_classes=self.num_classes + 1,
+            prompt_tmp_len=self.prompt_tmp_len,
+            add_prompt_num=self.add_prompt_num)
+
+    # ---------------- neural sub-computations ---------------- #
+    def features(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images (B, H, W, 3) normalized → res4 (B, H/16, W/16, C4)."""
+        return self.backbone(images)
+
+    def rpn(self, feats: jnp.ndarray):
+        return self.rpn_head(feats)
+
+    def pool_boxes(self, feats: jnp.ndarray, boxes: jnp.ndarray,
+                   resolution: int = 14) -> jnp.ndarray:
+        """RoIAlign(res4, stride 16) → res5 → pooled region features.
+
+        feats (B, h, w, C); boxes (B, N, 4) image coords → (B, N, D).
+        """
+        def single(f, b):
+            x = roi_align(f, b, 1.0 / 16.0, resolution=resolution,
+                          sampling_ratio=2)
+            x = self.res5(x)      # (N, r/2, r/2, 2048)
+            if self.pooling == "attnpool":
+                return self.attnpool(x)
+            return jnp.mean(x, axis=(1, 2))
+        return jax.vmap(single)(feats, boxes)
+
+    def predict(self, pooled: jnp.ndarray, text_features: jnp.ndarray):
+        """pooled (..., D) → (scores (..., C+1), deltas (..., 4),
+        class_feats (..., text_dim))."""
+        flat = pooled.reshape(-1, pooled.shape[-1]).astype(jnp.float32)
+        class_feats, deltas = self.box_predictor(flat)
+        scores = self.box_predictor.classify(class_feats, text_features)
+        lead = pooled.shape[:-1]
+        return (scores.reshape(lead + (-1,)), deltas.reshape(lead + (4,)),
+                class_feats.reshape(lead + (-1,)))
+
+    def text_features(self, class_tokens: jnp.ndarray) -> jnp.ndarray:
+        """Learnable-prompt text features (C+1, text_dim), normalized.
+
+        class_tokens: (C+1, 77) int32 tokenized 'a photo of a X..X {cls}.'
+        """
+        embeds = self.text_trunk.token_embedding(class_tokens)
+        eot = jnp.argmax(class_tokens, axis=-1)
+        return self.prompted_text(embeds, eot)
+
+    def encode_text(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Frozen-prompt text encoding (for template prototypes)."""
+        return self.text_trunk(tokens)
+
+    def __call__(self, images: jnp.ndarray, class_tokens: jnp.ndarray,
+                 rois: jnp.ndarray):
+        """Convenience full forward used for init/jit-checks: backbone →
+        rpn + pooled predictions on given ROIs."""
+        feats = self.features(images)
+        obj, deltas = self.rpn(feats)
+        pooled = self.pool_boxes(feats, rois)
+        text = self.text_features(class_tokens)
+        scores, box_deltas, class_feats = self.predict(pooled, text)
+        return {"objectness": obj, "rpn_deltas": deltas, "scores": scores,
+                "deltas": box_deltas, "class_feats": class_feats}

@@ -1,0 +1,92 @@
+"""Masked IoU matcher + balanced subsampler.
+
+Shape-static replacements for detectron2's ``Matcher`` and
+``subsample_labels`` used by the RPN (coin/modeling/proposal_generator/
+rpn.py) and the ROI heads (coin/modeling/roi_heads/clip_roi_heads.py:
+282-399 ``label_and_sample_proposals``).
+
+All functions take a quality matrix of shape (M_gt, N_pred) plus a gt
+validity mask; invalid gt rows never win a match.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def match(quality: jnp.ndarray, gt_valid: jnp.ndarray,
+          thresholds: Sequence[float], labels: Sequence[int],
+          allow_low_quality: bool = False
+          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """detectron2 Matcher semantics.
+
+    Args:
+      quality: (M, N) match quality (IoU), rows = gt, cols = predictions.
+      gt_valid: (M,) bool.
+      thresholds: ascending, e.g. (0.3, 0.7) → 3 bands.
+      labels: one label per band, each in {-1, 0, 1}
+              (ignore / negative / positive).
+      allow_low_quality: also mark, for each valid gt, every prediction that
+        attains that gt's best quality as positive.
+
+    Returns:
+      matched_idx: (N,) int32 — best gt per prediction (0 if no valid gt).
+      match_labels: (N,) int8 — -1 ignore, 0 negative, 1 positive.
+    """
+    assert len(labels) == len(thresholds) + 1
+    q = jnp.where(gt_valid[:, None], quality, NEG_INF)
+    any_gt = jnp.any(gt_valid)
+    matched_vals = jnp.max(q, axis=0)
+    matched_idx = jnp.argmax(q, axis=0).astype(jnp.int32)
+    # with no valid gt at all, detectron2 returns all-negative
+    matched_vals = jnp.where(any_gt, matched_vals, 0.0)
+
+    match_labels = jnp.full(matched_vals.shape, labels[0], jnp.int8)
+    for lo, lab in zip(thresholds, labels[1:]):
+        match_labels = jnp.where(matched_vals >= lo,
+                                 jnp.int8(lab), match_labels)
+
+    if allow_low_quality:
+        # highest quality each gt achieves (including ties, as in d2)
+        best_per_gt = jnp.max(jnp.where(gt_valid[:, None], quality, NEG_INF),
+                              axis=1, keepdims=True)
+        is_best = (quality >= best_per_gt) & gt_valid[:, None] \
+            & (best_per_gt > 0)
+        lowq = jnp.any(is_best, axis=0)
+        match_labels = jnp.where(lowq, jnp.int8(1), match_labels)
+
+    match_labels = jnp.where(any_gt, match_labels, jnp.int8(0))
+    return matched_idx, match_labels
+
+
+def subsample_labels(labels: jnp.ndarray, num_samples: int,
+                     positive_fraction: float, rng: jax.Array
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Randomly pick up to ``num_samples`` entries with at most
+    ``positive_fraction`` positives; the remainder filled with negatives
+    (detectron2 ``subsample_labels`` semantics, shape-static).
+
+    Returns (pos_mask, neg_mask) — boolean masks over the input rows marking
+    the *sampled* positives / negatives.
+    """
+    n = labels.shape[0]
+    rng_p, rng_n = jax.random.split(rng)
+    pos = labels == 1
+    neg = labels == 0
+
+    num_pos_target = int(num_samples * positive_fraction)
+    num_pos = jnp.minimum(jnp.sum(pos), num_pos_target)
+    num_neg = jnp.minimum(jnp.sum(neg), num_samples - num_pos)
+
+    def pick(mask, k, key):
+        # random priority per eligible row; top-count(k) selected via rank
+        pri = jnp.where(mask, jax.random.uniform(key, (n,)), -1.0)
+        rank = jnp.argsort(jnp.argsort(-pri))  # rank 0 = highest priority
+        return mask & (rank < k)
+
+    return pick(pos, num_pos, rng_p), pick(neg, num_neg, rng_n)

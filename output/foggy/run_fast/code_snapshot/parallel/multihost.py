@@ -1,0 +1,57 @@
+"""Multi-host utilities.
+
+The reference's cross-process traffic (detectron2 comm.gather/all_gather,
+SURVEY §2.8) maps to:
+- gradient reduction: implicit XLA collectives under the data mesh;
+- collector-result union / evaluator gathers: host-side allgather over
+  the JAX distributed runtime (DCN), wrapped here.
+Single-process runs are no-ops.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, List
+
+import jax
+import numpy as np
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def all_gather_objects(obj: Any) -> List[Any]:
+    """Gather an arbitrary picklable object from every process (the
+    collector-union / metric-gather path)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64))
+    max_size = int(sizes.max())
+    padded = np.zeros(max_size, np.uint8)
+    padded[:payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    return [pickle.loads(gathered[i, :int(sizes[i][0])].tobytes())
+            for i in range(jax.process_count())]
+
+
+def merge_result_stores(store):
+    """Union each process's ResultStore shard (replaces the collector
+    all_gather, gdino_collector.py:72-75)."""
+    if jax.process_count() == 1:
+        return store
+    for other in all_gather_objects(store):
+        store.merge(other)
+    return store
