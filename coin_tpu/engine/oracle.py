@@ -20,7 +20,7 @@ import optax
 from coin_tpu.data.augment import preprocess_batch
 from coin_tpu.engine import pipelines
 from coin_tpu.engine.base import DetectorTrainerBase
-from coin_tpu.engine.state import TrainState, merge_params
+from coin_tpu.engine.state import TrainState, jit_train_step, merge_params
 from coin_tpu.structures import Detections
 
 logger = logging.getLogger(__name__)
@@ -49,7 +49,7 @@ class OracleTrainer(DetectorTrainerBase):
         tokens = jnp.asarray(self.class_tokens)
         tx = self.tx
 
-        @jax.jit
+        @jit_train_step
         def train_step(state: TrainState, images_u8, image_hw, flip,
                        gt_boxes, gt_classes, gt_valid):
             rng, rng_aug, rng_step = jax.random.split(state.rng, 3)

@@ -22,7 +22,7 @@ from coin_tpu.data.loader import TrainLoader
 from coin_tpu.engine import coin_pipelines
 from coin_tpu.engine.base import DetectorTrainerBase
 from coin_tpu.engine.results_store import ResultStore
-from coin_tpu.engine.state import Prototypes, TrainState
+from coin_tpu.engine.state import Prototypes, TrainState, jit_train_step
 from coin_tpu.structures import Detections
 
 logger = logging.getLogger(__name__)
@@ -87,7 +87,7 @@ class PRETrainer(DetectorTrainerBase):
         weights = self.loss_weights
         prob_weighted = self.prob_weighted
 
-        @jax.jit
+        @jit_train_step
         def train_step(state: TrainState, images_u8, image_hw, flip,
                        rcnn: Detections, rpn: Detections,
                        update_prototype):

@@ -63,6 +63,20 @@ def default_freeze_predicate(update_backbone: bool = True
     return pred
 
 
+def jit_train_step(fn):
+    """jit a `(state, *batch) -> (state, aux)` train step, donating the
+    TrainState on accelerator backends. Donation lets XLA alias the
+    input params/opt_state/teacher buffers with the outputs instead of
+    double-buffering them (the TrainState dominates HBM at production
+    scale). The CPU backend's virtual multi-device mesh crashes when
+    donated buffers alias across a collective rendezvous (see BENCH.md),
+    so donation is accelerator-only — tests on the CPU mesh take the
+    plain-jit path."""
+    if jax.default_backend() == "cpu":
+        return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def ema_update(teacher: Dict, student: Dict, keep_rate: float) -> Dict:
     """Mean-teacher EMA: t ← s·(1−k) + t·k (ts_ensemble.py:58-63)."""
     return jax.tree.map(

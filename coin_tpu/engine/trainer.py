@@ -33,7 +33,7 @@ from coin_tpu.engine.matching import match_dual_teacher_single
 from coin_tpu.engine.pre_train import online_view_to_detections
 from coin_tpu.engine.results_store import ResultStore
 from coin_tpu.engine.state import (Prototypes, TrainState, ema_update,
-                                   merge_params)
+                                   jit_train_step, merge_params)
 from coin_tpu.models.ckg import CKGNet
 from coin_tpu.solver import build_optimizer
 
@@ -203,7 +203,7 @@ class CoinTrainer(DetectorTrainerBase):
                 merge_params=merge_p, merge_opt_state=merge_opt_state)
             return new_state, losses
 
-        @jax.jit
+        @jit_train_step
         def train_step(state: TrainState, images_u8, image_hw, flip,
                        online_rcnn, online_rpn):
             step = state.step
@@ -228,7 +228,7 @@ class CoinTrainer(DetectorTrainerBase):
                              online_rpn, offline, teacher, rng, rng_fwd,
                              step, step_two)
 
-        @jax.jit
+        @jit_train_step
         def train_step_cached(state: TrainState, images_u8, image_hw,
                               flip, online_rcnn, online_rpn, offline):
             """step_one with the teacher's per-image predictions served
