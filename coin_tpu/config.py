@@ -60,7 +60,12 @@ class CfgNode(dict):
             try:
                 node[parts[-1]] = ast.literal_eval(val)
             except (ValueError, SyntaxError):
-                node[parts[-1]] = val
+                # yacs-style quoting failed — accept yaml scalars/lists
+                # too ("[foggyval_0.02]" works without inner quotes)
+                try:
+                    node[parts[-1]] = yaml.safe_load(val)
+                except yaml.YAMLError:
+                    node[parts[-1]] = val
 
     def get_path(self, dotted: str, default=None):
         node = self

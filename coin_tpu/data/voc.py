@@ -15,10 +15,11 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-CITYSCAPES_CLASSES = ("bus", "bicycle", "car", "motorcycle", "person",
-                      "rider", "train", "truck")
-BDD_CLASSES = ("bicycle", "bus", "car", "motorcycle", "person", "rider",
-               "truck")
+CITYSCAPES_CLASSES = ("truck", "car", "rider", "person", "train",
+                      "motorcycle", "bicycle", "bus")
+BDD_CLASSES = ("person", "rider", "car", "truck", "bus", "motorcycle",
+               "bicycle")
+SIM_CLASSES = ("car", "motorbike", "person")
 CLIPART_CLASSES = ("aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
                    "car", "cat", "chair", "cow", "diningtable", "dog",
                    "horse", "motorbike", "person", "pottedplant", "sheep",
@@ -47,27 +48,51 @@ def register_pascal_voc(name: str, dirname: str, split: str,
 
 
 def register_all_builtin() -> None:
-    """The 16 reference splits (coin/data/datasets/builtin.py:121-175)."""
+    """The 16 reference splits, with the reference's exact names,
+    directory layout (<root>/<dirname>/{Annotations,ImageSets/Main/
+    <split>.txt,JPEGImages}), image formats, and class ORDERS — class
+    index order defines the label ids in collect stores and per-class AP
+    rows (coin/data/datasets/builtin.py:121-175)."""
     specs = [
-        ("citytrain", "cityscape/VOC2007", "train", CITYSCAPES_CLASSES,
+        # Cityscapes / Foggy-Cityscapes (shared VOC tree)
+        ("citytrain", "CityScapes_FoggyCityScapes", "train_city",
+         CITYSCAPES_CLASSES, ".png"),
+        ("cityval", "CityScapes_FoggyCityScapes", "val_city",
+         CITYSCAPES_CLASSES, ".png"),
+        ("foggytrain", "CityScapes_FoggyCityScapes", "train_foggy",
+         CITYSCAPES_CLASSES, ".png"),
+        ("foggyval", "CityScapes_FoggyCityScapes", "val_foggy",
+         CITYSCAPES_CLASSES, ".png"),
+        ("foggytrain_0.02", "CityScapes_FoggyCityScapes",
+         "train_foggy_0.02", CITYSCAPES_CLASSES, ".png"),
+        ("foggyval_0.02", "CityScapes_FoggyCityScapes",
+         "val_foggy_0.02", CITYSCAPES_CLASSES, ".png"),
+        ("citytrain_car", "CityScapes_FoggyCityScapes", "train_city_car",
+         CAR_CLASSES, ".png"),
+        ("cityval_car", "CityScapes_FoggyCityScapes", "val_city_car",
+         CAR_CLASSES, ".png"),
+        # Clipart (single "all" split used for both train and test)
+        ("cliparttrain", "clipart", "all", CLIPART_CLASSES, ".jpg"),
+        ("clipartval", "clipart", "all", CLIPART_CLASSES, ".jpg"),
+        # KITTI / SIM10K (car-only adaptation; trainval doubles as test)
+        ("KITTItrainval", "KITTI", "train_car", CAR_CLASSES, ".png"),
+        ("SIMtrainval_car", "SIM", "train_car", CAR_CLASSES, ".jpg"),
+        ("SIMtrainval", "SIM", "train", SIM_CLASSES, ".jpg"),
+        # BDD100K
+        ("BDD100Ktrain", "BDD100K_voc", "train_object", BDD_CLASSES,
          ".jpg"),
-        ("cityval", "cityscape/VOC2007", "val", CITYSCAPES_CLASSES, ".jpg"),
-        ("foggytrain_0.02", "foggycityscape_beta_0.02/VOC2007", "train",
-         CITYSCAPES_CLASSES, ".jpg"),
-        ("foggyval_0.02", "foggycityscape_beta_0.02/VOC2007", "val",
-         CITYSCAPES_CLASSES, ".jpg"),
-        ("bddtrain", "BDD100K_voc/VOC2007", "train", BDD_CLASSES, ".jpg"),
-        ("bddval", "BDD100K_voc/VOC2007", "val", BDD_CLASSES, ".jpg"),
-        ("cliparttrain", "clipart/VOC2007", "train", CLIPART_CLASSES,
-         ".jpg"),
-        ("clipartval", "clipart/VOC2007", "test", CLIPART_CLASSES, ".jpg"),
-        ("kittitrain", "KITTI_voc/VOC2007", "train", CAR_CLASSES, ".png"),
-        ("kittival", "KITTI_voc/VOC2007", "val", CAR_CLASSES, ".png"),
-        ("simtrain", "SIM10K_voc/VOC2007", "train", CAR_CLASSES, ".jpg"),
-        ("simval", "SIM10K_voc/VOC2007", "val", CAR_CLASSES, ".jpg"),
+        ("BDD100Kval", "BDD100K_voc", "val_object", BDD_CLASSES, ".jpg"),
     ]
     for name, dirname, split, classes, ext in specs:
         register_pascal_voc(name, dirname, split, classes, ext)
+    # legacy coin_tpu aliases (round-1 configs) → reference specs
+    for alias, ref in [("bddtrain", "BDD100Ktrain"),
+                       ("bddval", "BDD100Kval"),
+                       ("kittitrain", "KITTItrainval"),
+                       ("kittival", "KITTItrainval"),
+                       ("simtrain", "SIMtrainval_car"),
+                       ("simval", "SIMtrainval_car")]:
+        DATASET_REGISTRY[alias] = DATASET_REGISTRY[ref]
 
 
 def get_dataset(name: str) -> DatasetSpec:
