@@ -96,10 +96,15 @@ class MHA(nn.Module):
 
 
 class BiMultiHeadAttention(nn.Module):
-    """Bidirectional image↔text fusion (GLIP/GroundingDINO BiAttention)."""
+    """Bidirectional image↔text fusion (GLIP/GroundingDINO BiAttention).
+
+    ``l_dim`` is the language output width: GroundingDINO fuses 256-d
+    text (defaults to ``dim``); GLIP fuses raw 768-d BERT states, whose
+    official out_l_proj maps embed→768 directly."""
     dim: int = HIDDEN
     heads: int = 4
     embed: int = 1024
+    l_dim: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -130,7 +135,7 @@ class BiMultiHeadAttention(nn.Module):
                            sh(vv)).reshape(b, -1, self.embed)
         out_v = nn.Dense(self.dim, name="out_v_proj",
                          dtype=self.dtype)(out_v)
-        out_l = nn.Dense(self.dim, name="out_l_proj",
+        out_l = nn.Dense(self.l_dim or self.dim, name="out_l_proj",
                          dtype=self.dtype)(out_l)
         return out_v, out_l
 

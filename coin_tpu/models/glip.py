@@ -124,12 +124,10 @@ class VLDyHeadBlock(nn.Module):
                              nn.initializers.constant(1.0 / 8),
                              (LANG_DIM,))
         dv, dl = BiMultiHeadAttention(
-            dim=HIDDEN, heads=8, embed=2048,
+            dim=HIDDEN, heads=8, embed=2048, l_dim=LANG_DIM,
             name="fusion_attn", dtype=self.dtype)(
             ln_v(vis).astype(vis.dtype), ln_l(lang).astype(lang.dtype),
             lang_mask)
-        # out_l projects to HIDDEN; lift back to LANG_DIM
-        dl = nn.Dense(LANG_DIM, name="lang_out", dtype=self.dtype)(dl)
         vis = vis + gamma_v.astype(vis.dtype) * dv
         lang = lang + gamma_l.astype(lang.dtype) * dl
 

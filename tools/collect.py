@@ -19,6 +19,9 @@ import logging
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -109,7 +112,7 @@ def build_cloud_detector(cfg, arch, class_names):
         sd = sd.get("model", sd)
         variant = cfg.MODEL.TEACHER_CLOUD.TYPE
         model = GroundingDINO(variant=variant,
-                              compute_dtype=jnp.bfloat16)
+                              dtype=jnp.bfloat16)
         params = jax.tree.map(jnp.asarray, convert_gdino(
             {k: v.numpy() for k, v in sd.items()}, variant))
         bert, bert_params = bert_params_from_checkpoint(
@@ -126,6 +129,40 @@ def build_cloud_detector(cfg, arch, class_names):
         if arch == "GDINO_CLASSONLY":
             det = ClassOnlyAdapter(det, len(class_names))
         return det
+    if arch in ("GLIP", "GLIPModel"):
+        import torch
+
+        from coin_tpu.models.convert_glip import (bert_params_from_glip,
+                                                  convert_glip)
+        from coin_tpu.models.glip import GLIP
+        from coin_tpu.models.glip_detector import GLIPDetector
+        from coin_tpu.models.wordpiece import WordPieceTokenizer
+
+        weight = cfg.MODEL.TEACHER_CLOUD.WEIGHT
+        vocab = cfg.get_path("TPU.BERT_VOCAB", "")
+        if not (weight and os.path.exists(weight)):
+            raise FileNotFoundError(
+                f"GLIP checkpoint not found: {weight!r} "
+                "(set MODEL.TEACHER_CLOUD.WEIGHT)")
+        if not (vocab and os.path.exists(vocab)):
+            raise FileNotFoundError(
+                "BERT vocab.txt not found (set TPU.BERT_VOCAB)")
+        sd = torch.load(weight, map_location="cpu")
+        sd = sd.get("model", sd)
+        variant = cfg.MODEL.TEACHER_CLOUD.TYPE
+        model = GLIP(variant=variant, dtype=jnp.bfloat16)
+        params = jax.tree.map(jnp.asarray, convert_glip(
+            {k: v.numpy() for k, v in sd.items()}, variant))
+        bert, bert_params = bert_params_from_glip(sd)
+
+        def bert_apply(ids, mask):
+            return bert.module.apply(
+                {"params": bert_params}, ids, mask)[0]
+
+        tok = WordPieceTokenizer(vocab)
+        return GLIPDetector(
+            model, params, bert_apply, class_names, tok,
+            threshold=cfg.MODEL.TEACHER_CLOUD.TEST_THRESHOLD)
     if arch == "GDINO1_5_API":
         from coin_tpu.models.gdino_variants import GDINO15APIDetector
         return GDINO15APIDetector(cfg.MODEL.TEACHER_CLOUD.get("TOKEN", ""),
