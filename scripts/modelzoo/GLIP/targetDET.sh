@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+# Verify a released GLIP-teacher targetDET checkpoint
+# (reference flow: scripts/modelzoo/GLIP/targetDET.sh).
+set -e
+CONFIG=${1:-configs/coin/GLIP/foggy.yaml}; CKPT=$2
+python train_net.py --config "$CONFIG" --eval-only \
+  CLOUD.Trainer ModelZoo_test MODEL.WEIGHTS "$CKPT" "${@:3}"
