@@ -94,6 +94,10 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = setup(args)
     trainer = build_trainer(cfg)
+    # eval-only is implied for the test trainers (reference
+    # train_net.py:49-50 auto-forces it for the *_test trainers)
+    if not hasattr(trainer, "train"):
+        args.eval_only = True
     if args.eval_only:
         trainer.resume_or_load(resume=args.resume)
         if (args.test_model_role == "teacher"
