@@ -102,6 +102,7 @@ class DetectorTrainerBase:
             text_width=cfg.get_path("TPU.TEXT_WIDTH", 512),
             text_heads=cfg.get_path("TPU.TEXT_HEADS", 8),
             compute_dtype=compute_dtype,
+            scan_blocks=cfg.get_path("TPU.SCAN_BLOCKS", False),
         )
         self.pcfg = pipeline_config_from(cfg, self.num_classes)
         self.loss_weights = loss_weights_from(cfg)

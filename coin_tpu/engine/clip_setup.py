@@ -147,10 +147,21 @@ def load_clip_into_variables(variables: Dict, clip_path: str,
                 remapped[k[len("lang_encoder."):]] = v
         remapped["logit_scale"] = sd["logit_scale"]
         sd = remapped
-    from coin_tpu.models.clip_resnet import DEPTH_CFG
+    from coin_tpu.models.clip_resnet import DEPTH_CFG, stack_stage_params
     layers = DEPTH_CFG[depth]["layers"]
     backbone, res5, attnpool = C.convert_clip_visual(sd, layers)
     text = C.convert_clip_text(sd)
+
+    # TPU.SCAN_BLOCKS model: restack the converter's unrolled per-block
+    # trees into the lax.scan layout before merging
+    model_bb = variables["params"].get("backbone", {})
+    if any("scan" in model_bb.get(f"layer{i}", {}) for i in (1, 2, 3)):
+        backbone = dict(backbone)
+        for i in (1, 2, 3):
+            backbone[f"layer{i}"] = stack_stage_params(
+                backbone[f"layer{i}"], layers[i - 1])
+    if "scan" in variables["params"].get("res5", {}).get("layer4", {}):
+        res5 = {"layer4": stack_stage_params(res5["layer4"], layers[3])}
 
     params = dict(variables["params"])
     flat = traverse_util.flatten_dict(params)

@@ -98,19 +98,56 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _ScanBody(nn.Module):
+    """nn.scan adapter: one identity bottleneck as (carry, _) -> (carry,)."""
+    planes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        return Bottleneck(self.planes, 1, name="block",
+                          dtype=self.dtype)(x), None
+
+
 class ResStage(nn.Module):
+    """``scan=True`` rolls the identical identity blocks into one
+    ``lax.scan`` over stacked params — same math, one conv program in
+    the executable instead of N-1 copies (XLA While loop). Cuts HLO
+    program size / compile time for the deep stages (res3 has 18-36
+    blocks in RN50/101); default off so param trees (and checkpoint /
+    converter layouts) stay per-block. ``stack_stage_params`` converts
+    an unrolled stage tree to the scan layout."""
     planes: int
     blocks: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    scan: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Bottleneck(self.planes, self.stride, name="0",
                        dtype=self.dtype)(x)
+        if self.scan and self.blocks > 1:
+            x, _ = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.blocks - 1,
+            )(self.planes, dtype=self.dtype, name="scan")(x, None)
+            return x
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, 1, name=str(i), dtype=self.dtype)(x)
         return x
+
+
+def stack_stage_params(stage: dict, blocks: int) -> dict:
+    """Unrolled ResStage params {'0': ..., '1': ..., ...} → scan layout
+    {'0': ..., 'scan': {'block': stacked}} (leading axis = blocks-1)."""
+    import jax
+    import jax.numpy as jnp
+    rest = [stage[str(i)] for i in range(1, blocks)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *rest)
+    return {"0": stage["0"], "scan": {"block": stacked}}
 
 
 class CLIPResNetBackbone(nn.Module):
@@ -118,6 +155,7 @@ class CLIPResNetBackbone(nn.Module):
     layout). Input NHWC, already normalized with CLIP statistics."""
     depth: int = 50
     dtype: Dtype = jnp.float32
+    scan: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -131,11 +169,12 @@ class CLIPResNetBackbone(nn.Module):
         x = _conv(w, 3, name="conv3", dtype=self.dtype)(x)
         x = nn.relu(FrozenBN(w, name="bn3", dtype=self.dtype)(x))
         x = _avgpool2(x, 2)
-        x = ResStage(w, cfg["layers"][0], name="layer1", dtype=self.dtype)(x)
+        x = ResStage(w, cfg["layers"][0], name="layer1", dtype=self.dtype,
+                     scan=self.scan)(x)
         x = ResStage(w * 2, cfg["layers"][1], 2, name="layer2",
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype, scan=self.scan)(x)
         x = ResStage(w * 4, cfg["layers"][2], 2, name="layer3",
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype, scan=self.scan)(x)
         return x  # res4: stride 16, channels width*16
 
 
@@ -145,12 +184,13 @@ class Res5Head(nn.Module):
     coin/modeling/roi_heads/clip_roi_heads.py:172-176)."""
     depth: int = 50
     dtype: Dtype = jnp.float32
+    scan: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = DEPTH_CFG[self.depth]
         return ResStage(cfg["width"] * 8, cfg["layers"][3], 2, name="layer4",
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype, scan=self.scan)(x)
 
 
 class AttentionPool2d(nn.Module):

@@ -42,14 +42,19 @@ class OpenVocabularyRCNN(nn.Module):
     text_width: int = 512
     text_heads: int = 8
     compute_dtype: Any = jnp.float32
+    # roll identical ResNet blocks into lax.scan (smaller executable /
+    # faster compiles; param layout changes — see clip_resnet.ResStage)
+    scan_blocks: bool = False
 
     def setup(self):
         cfg = DEPTH_CFG[self.depth]
         self.text_dim = TEXT_DIMS[self.depth]
         self.backbone = CLIPResNetBackbone(self.depth,
-                                           dtype=self.compute_dtype)
+                                           dtype=self.compute_dtype,
+                                           scan=self.scan_blocks)
         self.rpn_head = RPNHead(self.num_anchors, dtype=self.compute_dtype)
-        self.res5 = Res5Head(self.depth, dtype=self.compute_dtype)
+        self.res5 = Res5Head(self.depth, dtype=self.compute_dtype,
+                             scan=self.scan_blocks)
         if self.pooling == "attnpool":
             self.attnpool = AttentionPool2d(
                 embed_dim=cfg["width"] * 32, num_heads=cfg["heads"],
