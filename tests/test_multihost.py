@@ -1,0 +1,48 @@
+"""Multi-host plumbing (parallel/multihost.py): single-process paths are
+no-ops; store union merges shards (the collector all_gather replacement,
+gdino_collector.py:72-75). True multi-process runs need the JAX
+distributed runtime (not available in CI)."""
+
+import numpy as np
+
+from coin_tpu.engine.results_store import ResultStore
+from coin_tpu.parallel import multihost as mh
+
+
+def _store(ids, num_classes=2, seed=0):
+    rng = np.random.RandomState(seed)
+    s = ResultStore(num_classes)
+    for i in ids:
+        n = 3
+        boxes = rng.rand(n, 4).astype(np.float32) * 50
+        boxes[:, 2:] += boxes[:, :2] + 5
+        probs = rng.rand(n, num_classes + 1).astype(np.float32)
+        probs /= probs.sum(1, keepdims=True)
+        s.put(i, "RCNN", boxes, probs.argmax(1), probs.max(1), probs)
+    return s
+
+
+def test_single_process_noops():
+    assert mh.process_count() == 1
+    assert mh.is_main_process()
+    assert mh.all_gather_objects({"x": 1}) == [{"x": 1}]
+    s = _store(["a", "b"])
+    assert mh.merge_result_stores(s) is s
+
+
+def test_store_merge_unions_shards():
+    a = _store(["img0", "img1"], seed=1)
+    b = _store(["img2"], seed=2)
+    a.merge(b)
+    assert sorted(a.image_ids()) == ["img0", "img1", "img2"]
+    v = a.get_view("img2", "RCNN")
+    assert len(v["boxes"]) == 3
+
+
+def test_gathered_object_round_trips_store():
+    # the wire format is pickle — a ResultStore survives it intact
+    import pickle
+    s = _store(["x"], seed=3)
+    s2 = pickle.loads(pickle.dumps(s))
+    np.testing.assert_allclose(s2.get_view("x", "RCNN")["boxes"],
+                               s.get_view("x", "RCNN")["boxes"])
