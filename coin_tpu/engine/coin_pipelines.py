@@ -162,17 +162,21 @@ def student_forward(model, variables, images, images_hw,
       matched_rcnn.b_cls_online, matched_rcnn.b_probs_online,
       matched_rcnn.c, jax.random.split(rng_roi, b))
 
-    pooled = model.apply(variables, feats, sp.boxes,
-                         cfg.pooler_resolution, method="pool_boxes")
+    # sampled + private (C) boxes share ONE pool/res5/predict tower:
+    # same math as two passes (RoIAlign and res5 are per-roi), but the
+    # crops batch into one GEMM stream and the backward carries a single
+    # res5 program instead of two (fast_rcnn.py runs them separately)
+    n_sp = sp.boxes.shape[1]
+    all_boxes = jnp.concatenate([sp.boxes, matched_rcnn.c.boxes], axis=1)
+    all_pooled = model.apply(variables, feats, all_boxes,
+                             cfg.pooler_resolution, method="pool_boxes")
     text = model.apply(variables, class_tokens, method="text_features")
-    scores, deltas, class_feats = model.apply(variables, pooled, text,
-                                              method="predict")
-
-    # private (C) boxes: separate pooled forward for distillation targets
-    c_pooled = model.apply(variables, feats, matched_rcnn.c.boxes,
-                           cfg.pooler_resolution, method="pool_boxes")
-    c_scores, _, _ = model.apply(variables, c_pooled, text,
-                                 method="predict")
+    all_scores, all_deltas, all_feats = model.apply(
+        variables, all_pooled, text, method="predict")
+    scores, c_scores = all_scores[:, :n_sp], all_scores[:, n_sp:]
+    deltas = all_deltas[:, :n_sp]
+    class_feats = all_feats[:, :n_sp]
+    pooled = all_pooled[:, :n_sp]
 
     sp_f = rh.SampledProposals(*[_flat(x) for x in sp])
     scores_f = _flat(scores)
