@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--skip-clip", action="store_true",
                    help="only the raw cloud collection")
+    p.add_argument("--synthetic-teacher", action="store_true",
+                   help="random-weight tiny GDINO + stub CLIP scorer — "
+                        "zero-asset pipeline rehearsal (no checkpoints "
+                        "needed; detections are meaningless)")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args(argv)
 
@@ -56,7 +60,10 @@ def main(argv=None):
                         max_size=cfg.INPUT.TEACHER_CLOUD.MAX_SIZE_TEST
                         if "MAX_SIZE_TEST" in cfg.INPUT.TEACHER_CLOUD
                         else 1333)
-    detector = build_cloud_detector(cfg, arch, class_names)
+    if args.synthetic_teacher:
+        detector = build_synthetic_detector(class_names)
+    else:
+        detector = build_cloud_detector(cfg, arch, class_names)
 
     store = collect_mod.collect_cloud(
         detector, loader, len(class_names),
@@ -76,13 +83,70 @@ def main(argv=None):
         return
 
     # --- CLIP re-scoring pass ---
-    scorer_apply = build_clip_scorer(cfg, class_names)
+    if args.synthetic_teacher:
+        scorer_apply = build_stub_scorer(len(class_names))
+    else:
+        scorer_apply = build_clip_scorer(cfg, class_names)
     clip_store = collect_mod.rescore_with_clip(
         scorer_apply, store, loader,
         capacity=cfg.get_path("TPU.CAP_TEACHER", 128))
     out2 = os.path.join(cfg.OUTPUT_DIR, "CLIP_collect.npz")
     clip_store.save(out2)
     print(f"saved CLIP-rescored collection: {out2}")
+
+
+def build_synthetic_detector(class_names):
+    """Random-weight tiny GroundingDINO through the REAL collection
+    machinery (tokenize caption → embed → GDINO forward → postprocess).
+    Zero-asset rehearsal only — detections are meaningless."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coin_tpu.models.gdino import GroundingDINO
+    from coin_tpu.models.gdino_detector import (GDINODetector,
+                                                build_captions_and_spans)
+    from coin_tpu.models.wordpiece import WordPieceTokenizer
+
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "."]
+    for name in class_names:
+        words += name.lower().split()
+    vocab = tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False)
+    vocab.write("\n".join(dict.fromkeys(words)) + "\n")
+    vocab.close()
+    tok = WordPieceTokenizer(vocab.name)
+
+    model = GroundingDINO(variant="swinT", num_queries=64, enc_layers=1,
+                          dec_layers=1)
+    table = jnp.asarray(np.random.RandomState(0).randn(64, 768)
+                        .astype(np.float32) * 0.1)
+
+    def bert_apply(ids, mask):
+        return jnp.take(table, jnp.clip(ids, 0, 63), axis=0)
+
+    _, ids, _ = build_captions_and_spans(class_names, tok)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    embeds = jnp.zeros((1, len(ids), 768), jnp.float32)
+    mask = jnp.ones((1, len(ids)), bool)
+    params = model.init(jax.random.key(0), img, embeds, mask)["params"]
+    return GDINODetector(model, params, bert_apply, class_names, tok,
+                         threshold=0.0, capacity=64)
+
+
+def build_stub_scorer(num_classes):
+    """Softmax over random logits — stands in for the CLIP scorer in
+    --synthetic-teacher rehearsals."""
+    import jax
+
+    def scorer_apply(images_u8, boxes):
+        b, n, _ = boxes.shape
+        logits = jax.random.normal(jax.random.key(1),
+                                   (b, n, num_classes + 1))
+        return jax.nn.softmax(logits, axis=-1)
+
+    return scorer_apply
 
 
 def build_cloud_detector(cfg, arch, class_names):
