@@ -63,16 +63,28 @@ def default_freeze_predicate(update_backbone: bool = True
     return pred
 
 
-def jit_train_step(fn):
+def jit_train_step(fn, donate_default: bool = True):
     """jit a `(state, *batch) -> (state, aux)` train step, donating the
     TrainState on accelerator backends. Donation lets XLA alias the
     input params/opt_state/teacher buffers with the outputs instead of
     double-buffering them (the TrainState dominates HBM at production
-    scale). The CPU backend's virtual multi-device mesh crashes when
-    donated buffers alias across a collective rendezvous (see BENCH.md),
-    so donation is accelerator-only — tests on the CPU mesh take the
-    plain-jit path."""
-    if jax.default_backend() == "cpu":
+    scale).
+
+    Exceptions:
+    - CPU backend: the virtual multi-device mesh crashes when donated
+      buffers alias across a collective rendezvous (see BENCH.md) —
+      always plain jit.
+    - ``donate_default=False`` (used by the dual-teacher step): the
+      remote-TPU relay in this environment rejects that executable's
+      donation/aliasing pattern with an opaque INVALID_ARGUMENT
+      (the oracle/pretrain steps donate fine). Env override
+      ``COIN_TPU_DONATE=1/0`` forces it either way — set 1 on
+      direct-attached TPUs.
+    """
+    import os
+    env = os.environ.get("COIN_TPU_DONATE", "")
+    donate = donate_default if env == "" else env == "1"
+    if jax.default_backend() == "cpu" or not donate:
         return jax.jit(fn)
     return jax.jit(fn, donate_argnums=(0,))
 

@@ -203,7 +203,10 @@ class CoinTrainer(DetectorTrainerBase):
                 merge_params=merge_p, merge_opt_state=merge_opt_state)
             return new_state, losses
 
-        @jit_train_step
+        # donate_default=False: the remote-TPU relay rejects this
+        # executable's donation pattern (engine/state.jit_train_step);
+        # COIN_TPU_DONATE=1 re-enables on direct-attached chips
+        @partial(jit_train_step, donate_default=False)
         def train_step(state: TrainState, images_u8, image_hw, flip,
                        online_rcnn, online_rpn):
             step = state.step
@@ -228,7 +231,7 @@ class CoinTrainer(DetectorTrainerBase):
                              online_rpn, offline, teacher, rng, rng_fwd,
                              step, step_two)
 
-        @jit_train_step
+        @partial(jit_train_step, donate_default=False)
         def train_step_cached(state: TrainState, images_u8, image_hw,
                               flip, online_rcnn, online_rpn, offline):
             """step_one with the teacher's per-image predictions served
