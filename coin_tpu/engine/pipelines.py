@@ -47,6 +47,13 @@ class PipelineConfig:
     classes_weight: Optional[Tuple[float, ...]] = None  # focal alpha
     bg_train: bool = True
     stride: int = 16
+    # res5-crop sharing at inference (TPU throughput lever, BENCH.md):
+    # pool only cluster representatives (IoU ≥ thresh) up to a static
+    # budget and broadcast features to cluster members. 0 = off (exact
+    # reference parity). Members whose representative overflows the
+    # budget receive the clamped slot's features (approximate).
+    share_crops_budget: int = 0
+    share_crops_thresh: float = 0.9
 
 
 def _anchors_for(images: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
@@ -113,6 +120,27 @@ def oracle_train_losses(model, variables, images, images_hw,
     return losses
 
 
+def shared_pool(model, variables, feats, boxes, valid,
+                cfg: PipelineConfig) -> jnp.ndarray:
+    """Pool res5 features for cluster REPRESENTATIVES only (boxes with
+    IoU ≥ share_crops_thresh share one crop) and broadcast them to the
+    members — the crop-count lever from BENCH.md. Exact for IoU=1
+    duplicates; approximate within a cluster otherwise."""
+    from coin_tpu.ops.dedup import self_cluster_index
+
+    def plan(b, v):
+        keep, rep = self_cluster_index(b, v, cfg.share_crops_thresh)
+        order = jnp.argsort(~keep, stable=True)   # reps to the front
+        inv = jnp.argsort(order)                  # orig idx -> sorted pos
+        rep_pos = jnp.minimum(inv[rep], cfg.share_crops_budget - 1)
+        return jnp.take(b, order[:cfg.share_crops_budget], axis=0), rep_pos
+
+    rep_boxes, rep_pos = jax.vmap(plan)(boxes, valid)
+    pooled = model.apply(variables, feats, rep_boxes,
+                         cfg.pooler_resolution, method="pool_boxes")
+    return jnp.take_along_axis(pooled, rep_pos[..., None], axis=1)
+
+
 def inference(model, variables, images, images_hw,
               class_tokens: jnp.ndarray, cfg: PipelineConfig,
               text_features: Optional[jnp.ndarray] = None) -> Detections:
@@ -124,8 +152,12 @@ def inference(model, variables, images, images_hw,
     anchors = _anchors_for(images, cfg)
     _, _, proposals = rpn_forward(model, variables, feats, images_hw,
                                   anchors, cfg, False)
-    pooled = model.apply(variables, feats, proposals.boxes,
-                         cfg.pooler_resolution, method="pool_boxes")
+    if cfg.share_crops_budget:
+        pooled = shared_pool(model, variables, feats, proposals.boxes,
+                             proposals.valid, cfg)
+    else:
+        pooled = model.apply(variables, feats, proposals.boxes,
+                             cfg.pooler_resolution, method="pool_boxes")
     if text_features is None:
         text_features = model.apply(variables, class_tokens,
                                     method="text_features")

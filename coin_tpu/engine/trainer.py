@@ -90,7 +90,12 @@ class CoinTrainer(DetectorTrainerBase):
                 "TPU.TEACHER_PRE_NMS_TOPK", self.pcfg.pre_nms_topk_test),
             post_nms_topk_test=cfg.get_path(
                 "TPU.TEACHER_POST_NMS_TOPK",
-                self.pcfg.post_nms_topk_test))
+                self.pcfg.post_nms_topk_test),
+            # res5-crop sharing (BENCH.md crop-count lever): pool only
+            # IoU-cluster representatives up to this static budget
+            share_crops_budget=cfg.get_path("TPU.TEACHER_SHARE_CROPS", 0),
+            share_crops_thresh=cfg.get_path(
+                "TPU.TEACHER_SHARE_THRESH", 0.9))
         self.state = self.replicate_state(self.state)
         self._train_step, self._train_step_cached = \
             self._build_train_step()

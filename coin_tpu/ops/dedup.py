@@ -35,6 +35,23 @@ def delete_duplicate_boxes(det: Detections) -> Detections:
     return det.mask(~duplicate_mask(det.boxes, det.valid))
 
 
+def self_cluster_index(boxes: jnp.ndarray, valid: jnp.ndarray,
+                       iou_threshold: float = 0.95):
+    """Cluster boxes at IoU ≥ thr (transitive closure); returns
+    (keep, rep) where keep marks each cluster's first member and rep[i]
+    is the index of i's representative (itself if keep[i])."""
+    n = boxes.shape[0]
+    iou = box_ops.pairwise_iou(boxes, boxes)
+    adj = (iou >= iou_threshold) & valid[:, None] & valid[None, :]
+    adj = adj | jnp.eye(n, dtype=bool)
+    reach = adj
+    for _ in range(max(1, math.ceil(math.log2(max(n, 2))))):
+        reach = reach | (reach @ reach)
+    rep = jnp.argmax(reach, axis=1)  # lowest reachable index
+    keep = (rep == jnp.arange(n)) & valid
+    return keep, rep
+
+
 def self_cluster_mask(det: Detections, iou_threshold: float = 0.95
                       ) -> jnp.ndarray:
     """filter_result (util.py:466-482): cluster boxes whose IoU ≥ thr via
