@@ -70,9 +70,13 @@ class _BaseLoader:
         self.canvas_hw = canvas_hw
 
     def _infer_canvas(self) -> Tuple[int, int]:
-        """Static canvas: resize the largest image shape and round up /32."""
+        """Static canvas: resize the largest image shape over ALL records
+        and round up /32. VOC XMLs carry <size>, so this is a pure
+        host-side scan; images lacking XML dims are opened once. A
+        too-small canvas would silently clamp-resize later images and
+        distort their scale (see load_image), so the max must be true."""
         hs, ws = [], []
-        for rec in self.records[:64]:
+        for rec in self.records:
             h = rec.get("height")
             w = rec.get("width")
             if h is None:
@@ -95,8 +99,17 @@ class _BaseLoader:
             rec.setdefault("width", w)
             scale = _resize_factor(h, w, self.min_size, self.max_size)
             nh, nw = int(round(h * scale)), int(round(w * scale))
-            nh = min(nh, canvas_hw[0])
-            nw = min(nw, canvas_hw[1])
+            if nh > canvas_hw[0] or nw > canvas_hw[1]:
+                # canvas too small for this image (can only happen with a
+                # user-forced canvas_hw; _infer_canvas scans all records)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "image %s (%dx%d, scaled %dx%d) exceeds the static "
+                    "canvas %s — clamping distorts its scale",
+                    rec.get("image_id", rec["file_name"]), h, w, nh, nw,
+                    canvas_hw)
+                nh = min(nh, canvas_hw[0])
+                nw = min(nw, canvas_hw[1])
             im = im.resize((nw, nh), Image.BILINEAR)
         arr = np.asarray(im, np.uint8)
         canvas = np.zeros((*canvas_hw, 3), np.uint8)
@@ -266,7 +279,7 @@ class TrainLoader(_BaseLoader):
             self._canvases = []
             for g in groups:
                 hs, ws = [], []
-                for i in g[:64]:
+                for i in g:
                     rec = self.records[i]
                     sc = _resize_factor(rec["height"], rec["width"],
                                         self.min_size, self.max_size)

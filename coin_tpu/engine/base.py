@@ -49,6 +49,7 @@ def pipeline_config_from(cfg, num_classes: int) -> pipelines.PipelineConfig:
         classes_weight=(tuple(cfg.CLOUD.CLASSES_WEIGHT)
                         if cfg.CLOUD.CLASSES_WEIGHT else None),
         bg_train=cfg.CLOUD.BG_TRAIN,
+        cls_agnostic_bbox_reg=m.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
     )
 
 
@@ -103,6 +104,8 @@ class DetectorTrainerBase:
             text_heads=cfg.get_path("TPU.TEXT_HEADS", 8),
             compute_dtype=compute_dtype,
             scan_blocks=cfg.get_path("TPU.SCAN_BLOCKS", False),
+            box_reg_classes=(1 if cfg.MODEL.ROI_BOX_HEAD
+                             .CLS_AGNOSTIC_BBOX_REG else self.num_classes),
         )
         self.pcfg = pipeline_config_from(cfg, self.num_classes)
         self.loss_weights = loss_weights_from(cfg)

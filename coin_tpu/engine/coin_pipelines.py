@@ -213,14 +213,27 @@ def student_forward(model, variables, images, images_hw,
         losses["loss_cls_b"] = jnp.where(step_two & jnp.any(conf), kl_b,
                                          0.0)
 
-    # box regression (class-agnostic, online classes, fast_rcnn.py:565-569)
+    # box regression (fast_rcnn.py:565-569): class-agnostic → one loss
+    # with the online classes; per-class columns → dual online/offline
+    # losses (they share the fused gt box — trainer.py:427-429 sets B's
+    # gt_boxes to the WBF merge — and differ only in which class picks
+    # the fg mask / delta column on B rows)
     calc_bg = jnp.any(sp_f.group == rh.GROUP_BG)
     norm_fallback = float(cfg.roi_batch_size * b)
     total_rows = jnp.maximum(jnp.sum(sp_f.group != rh.GROUP_PAD), 1.0)
     denom = jnp.where(calc_bg, total_rows, norm_fallback)
-    losses["loss_box_reg"] = rh.box_reg_loss(
-        sp_f, _flat(deltas), cfg.num_classes, use_online_classes=True,
-        normalizer=denom)
+    deltas_f = _flat(deltas)
+    if cfg.cls_agnostic_bbox_reg:
+        losses["loss_box_reg"] = rh.box_reg_loss(
+            sp_f, deltas_f, cfg.num_classes, use_online_classes=True,
+            normalizer=denom)
+    else:
+        losses["loss_box_reg_online"] = rh.box_reg_loss(
+            sp_f, deltas_f, cfg.num_classes, use_online_classes=True,
+            normalizer=denom)
+        losses["loss_box_reg_offline"] = rh.box_reg_loss(
+            sp_f, deltas_f, cfg.num_classes, use_online_classes=False,
+            normalizer=denom)
 
     return StudentForward(losses, sp_f, scores_f, class_feats_f, pooled_f,
                           c_scores_f, c_probs_f, c_valid_f)

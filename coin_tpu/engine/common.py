@@ -85,11 +85,19 @@ class MetricLogger:
                 logger.warning("TensorBoard writer unavailable: %s", e)
 
     def log(self, step: int, metrics: Dict[str, float]):
+        """Buffer metrics; flush every `period` steps.
+
+        Values may be device scalars (e.g. the loss dict straight out of
+        a jitted step): they are buffered as-is and materialized only at
+        the flush boundary, so the train loop never forces a host←device
+        round-trip per step (the async dispatch queue stays full).
+        """
         for k, v in metrics.items():
-            self._window[k].append(float(v))
+            self._window[k].append(v)
         if step % self.period != 0:
             return
-        means = {k: float(np.mean(v)) for k, v in self._window.items()}
+        window = jax.device_get(dict(self._window))
+        means = {k: float(np.mean(v)) for k, v in window.items()}
         self._window.clear()
         now = time.perf_counter()
         if self._last_step is not None:

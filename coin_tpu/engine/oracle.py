@@ -88,8 +88,10 @@ class OracleTrainer(DetectorTrainerBase):
                 jnp.asarray(batch.gt_classes),
                 jnp.asarray(batch.gt_valid)))
             self.state, losses = self._train_step(self.state, *arrays)
-            metrics = {k: float(v) for k, v in losses.items()}
-            metrics.update({"lr": float(self.schedule(i))})
+            # device scalars: materialized only at the logger's flush
+            metrics = dict(losses)
+            if i % self.metrics.period == 0:
+                metrics["lr"] = float(self.schedule(i))
             self.metrics.log(i, metrics)
             if (i + 1) % self.cfg.TEST.EVAL_PERIOD == 0:
                 self.ap_50[i] = self.test()["AP50"]

@@ -47,6 +47,10 @@ class PipelineConfig:
     classes_weight: Optional[Tuple[float, ...]] = None  # focal alpha
     bg_train: bool = True
     stride: int = 16
+    # MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG (True in every shipped
+    # reference config). False activates per-class delta columns and the
+    # dual online/offline box-reg losses (fast_rcnn.py:547-569).
+    cls_agnostic_bbox_reg: bool = True
     # res5-crop sharing at inference (TPU throughput lever, BENCH.md):
     # pool only cluster representatives (IoU ≥ thresh) up to a static
     # budget and broadcast features to cluster members. 0 = off (exact
@@ -54,6 +58,12 @@ class PipelineConfig:
     # budget receive the clamped slot's features (approximate).
     share_crops_budget: int = 0
     share_crops_thresh: float = 0.9
+    # fast head at inference (the measured crop-count lever): res5 over
+    # the full image once + RoIAlign on the res5 map, instead of res5
+    # per 14×14 crop. Approximate (crop-boundary context differs);
+    # False = exact C4 parity. Used for the TEACHER via
+    # TPU.TEACHER_FAST_HEAD after AP validation.
+    fast_head: bool = False
 
 
 def _anchors_for(images: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
@@ -152,7 +162,10 @@ def inference(model, variables, images, images_hw,
     anchors = _anchors_for(images, cfg)
     _, _, proposals = rpn_forward(model, variables, feats, images_hw,
                                   anchors, cfg, False)
-    if cfg.share_crops_budget:
+    if cfg.fast_head:
+        pooled = model.apply(variables, feats, proposals.boxes,
+                             method="pool_boxes_fast")
+    elif cfg.share_crops_budget:
         pooled = shared_pool(model, variables, feats, proposals.boxes,
                              proposals.valid, cfg)
     else:
@@ -164,8 +177,13 @@ def inference(model, variables, images, images_hw,
     scores, deltas, _ = model.apply(variables, pooled, text_features,
                                     method="predict")
     probs = jax.nn.softmax(scores, axis=-1)
-    boxes = box_ops.decode_deltas(proposals.boxes, deltas,
-                                  rh.BOX_REG_WEIGHTS)
+    if deltas.shape[-1] == 4:
+        boxes = box_ops.decode_deltas(proposals.boxes, deltas,
+                                      rh.BOX_REG_WEIGHTS)
+    else:  # per-class columns: (B, R, C, 4) candidate boxes
+        per_cls = deltas.reshape(deltas.shape[:-1] + (-1, 4))
+        boxes = box_ops.decode_deltas(proposals.boxes[..., None, :],
+                                      per_cls, rh.BOX_REG_WEIGHTS)
     return jax.vmap(
         lambda bx, pr, v, hw: rh.fast_rcnn_inference_single(
             bx, pr, v, hw, cfg.test_score_thresh, cfg.test_nms_thresh,

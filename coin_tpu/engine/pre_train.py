@@ -137,8 +137,10 @@ class PRETrainer(DetectorTrainerBase):
                 online_view_to_detections(batch.online["RPN"])))
             self.state, losses = self._train_step(
                 self.state, *arrays, jnp.asarray(update_prototype))
-            metrics = {k: float(v) for k, v in losses.items()}
-            metrics.update({"lr": float(self.schedule(i))})
+            # device scalars: materialized only at the logger's flush
+            metrics = dict(losses)
+            if i % self.metrics.period == 0:
+                metrics["lr"] = float(self.schedule(i))
             self.metrics.log(i, metrics)
             if (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 self.ap_50[i] = self.test()["AP50"]

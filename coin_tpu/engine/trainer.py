@@ -67,8 +67,12 @@ class CoinTrainer(DetectorTrainerBase):
         merge_vars = self.merge_model.init(
             jax.random.key(cfg.SEED + 2), dummy_feats, dummy_proto,
             dummy_proto, dummy_probs, dummy_probs)
-        self.merge_tx, _ = build_optimizer(merge_vars["params"], cfg,
-                                           overrides={})
+        # merge optimizer: same cfg/schedule, no per-module multipliers
+        # (CKG param names never match the visual/text override patterns
+        # in the reference either — build_optimizer(cfg, merge) there
+        # resolves every merge param to the base LR)
+        self.merge_tx, self.merge_schedule = build_optimizer(
+            merge_vars["params"], cfg, overrides={})
 
         proto0 = self.init_prototypes(variables)
         self.state = TrainState(
@@ -95,7 +99,10 @@ class CoinTrainer(DetectorTrainerBase):
             # IoU-cluster representatives up to this static budget
             share_crops_budget=cfg.get_path("TPU.TEACHER_SHARE_CROPS", 0),
             share_crops_thresh=cfg.get_path(
-                "TPU.TEACHER_SHARE_THRESH", 0.9))
+                "TPU.TEACHER_SHARE_THRESH", 0.9),
+            # fast head: res5-once + RoIAlign-on-res5 for the teacher
+            # tower (share-crops is void post-NMS-0.7 — BENCH.md r2)
+            fast_head=cfg.get_path("TPU.TEACHER_FAST_HEAD", False))
         self.state = self.replicate_state(self.state)
         self._train_step, self._train_step_cached = \
             self._build_train_step()
@@ -336,8 +343,12 @@ class CoinTrainer(DetectorTrainerBase):
             else:
                 self.state, losses = self._train_step(self.state,
                                                       *arrays)
-            metrics = {k: float(v) for k, v in losses.items()}
-            metrics.update({"lr": float(self.schedule(i)), "merge_lr": float(self.schedule(i))})
+            # keep losses as device scalars — MetricLogger materializes
+            # them only at its flush period, so the step chain stays async
+            metrics = dict(losses)
+            if i % self.metrics.period == 0:
+                metrics["lr"] = float(self.schedule(i))
+                metrics["merge_lr"] = float(self.merge_schedule(i))
             self.metrics.log(i, metrics)
             if i == cfg.CLOUD.BURN_UP_STEP - 1:
                 self.checkpointer.save(self.state, i,

@@ -28,6 +28,9 @@ DEPTH_CFG = {
     50: dict(layers=(3, 4, 6, 3), width=64, heads=32, out_dim=1024),
     101: dict(layers=(3, 4, 23, 3), width=64, heads=32, out_dim=512),
     200: dict(layers=(4, 6, 10, 6), width=80, heads=40, out_dim=640),  # RN50x4
+    # RN50x16 (reference depth-800 row, coin/modeling/utils.py:202-207:
+    # res2..res4 channels 384/768/1536 = width 96 × expansion)
+    800: dict(layers=(6, 8, 18, 8), width=96, heads=48, out_dim=768),
 }
 
 

@@ -27,8 +27,9 @@ from coin_tpu.models.roi_heads import BoxPredictor
 from coin_tpu.models.text_encoder import PromptedTextEncoder, TextTransformer
 from coin_tpu.ops.roi_align import roi_align
 
-# CLIP text-feature dims per visual backbone (fast_rcnn.py:283)
-TEXT_DIMS = {50: 1024, 101: 512, 200: 640}
+# CLIP text-feature dims per visual backbone (fast_rcnn.py:283:
+# RN50 1024, RN101 512, RN50x4 640, RN50x16 768)
+TEXT_DIMS = {50: 1024, 101: 512, 200: 640, 800: 768}
 
 
 class OpenVocabularyRCNN(nn.Module):
@@ -45,6 +46,9 @@ class OpenVocabularyRCNN(nn.Module):
     # roll identical ResNet blocks into lax.scan (smaller executable /
     # faster compiles; param layout changes — see clip_resnet.ResStage)
     scan_blocks: bool = False
+    # 1 = class-agnostic box regression (every shipped reference config);
+    # num_classes = per-class delta columns (fast_rcnn.py:249)
+    box_reg_classes: int = 1
 
     def setup(self):
         cfg = DEPTH_CFG[self.depth]
@@ -62,7 +66,8 @@ class OpenVocabularyRCNN(nn.Module):
             feat_dim = self.text_dim
         else:
             feat_dim = cfg["width"] * 32  # res5 channels (2048 for RN50)
-        self.box_predictor = BoxPredictor(self.text_dim)
+        self.box_predictor = BoxPredictor(
+            self.text_dim, box_dim=4 * self.box_reg_classes)
         self.text_trunk = TextTransformer(
             width=self.text_width, heads=self.text_heads,
             layers=self.text_layers, embed_dim=self.text_dim,
@@ -95,14 +100,34 @@ class OpenVocabularyRCNN(nn.Module):
             return jnp.mean(x, axis=(1, 2))
         return jax.vmap(single)(feats, boxes)
 
+    def pool_boxes_fast(self, feats: jnp.ndarray, boxes: jnp.ndarray,
+                        resolution: int = 7) -> jnp.ndarray:
+        """Fast head (TPU crop-count lever, BENCH.md): res5 over the FULL
+        res4 map once (a few thousand pixels), then RoIAlign the res5 map
+        at stride 32 — instead of res5 over every 14×14 crop (hundreds of
+        thousands of crop-pixels for 1000 proposals). Same params, same
+        output dim; features differ from the exact C4 path at crop
+        boundaries (full-image context instead of crop padding), so this
+        is a gated approximation — exact-parity path is pool_boxes."""
+        f5 = self.res5(feats)                 # (B, h/32, w/32, 2048)
+
+        def single(f, b):
+            x = roi_align(f, b, 1.0 / 32.0, resolution=resolution,
+                          sampling_ratio=2)
+            if self.pooling == "attnpool":
+                return self.attnpool(x)
+            return jnp.mean(x, axis=(1, 2))
+        return jax.vmap(single)(f5, boxes)
+
     def predict(self, pooled: jnp.ndarray, text_features: jnp.ndarray):
-        """pooled (..., D) → (scores (..., C+1), deltas (..., 4),
-        class_feats (..., text_dim))."""
+        """pooled (..., D) → (scores (..., C+1), deltas (..., 4·K),
+        class_feats (..., text_dim)); K = box_reg_classes."""
         flat = pooled.reshape(-1, pooled.shape[-1]).astype(jnp.float32)
         class_feats, deltas = self.box_predictor(flat)
         scores = self.box_predictor.classify(class_feats, text_features)
         lead = pooled.shape[:-1]
-        return (scores.reshape(lead + (-1,)), deltas.reshape(lead + (4,)),
+        return (scores.reshape(lead + (-1,)),
+                deltas.reshape(lead + (4 * self.box_reg_classes,)),
                 class_feats.reshape(lead + (-1,)))
 
     def text_features(self, class_tokens: jnp.ndarray) -> jnp.ndarray:

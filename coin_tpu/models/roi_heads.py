@@ -238,10 +238,20 @@ def classification_loss(scores: jnp.ndarray, sp: SampledProposals,
 def box_reg_loss(sp: SampledProposals, deltas: jnp.ndarray,
                  num_classes: int, use_online_classes: bool = True,
                  normalizer: Optional[float] = None) -> jnp.ndarray:
-    """Class-agnostic smooth-l1 box regression over fg rows, normalized by
-    the total sampled count (fast_rcnn.py:601-646)."""
+    """Smooth-l1 box regression over fg rows, normalized by the total
+    sampled count (fast_rcnn.py:601-646).
+
+    ``deltas`` is (S, 4) for class-agnostic regression or (S, 4·C) for
+    per-class columns — the fg row's own class selects its column
+    (fast_rcnn.py:614-616), which is where the online and offline
+    variants of this loss diverge on B rows (fast_rcnn.py:567-569)."""
     cls = sp.cls_online if use_online_classes else sp.cls_offline
     fg = (cls >= 0) & (cls < num_classes)
+    if deltas.shape[-1] != 4:
+        per_cls = deltas.reshape(deltas.shape[0], num_classes, 4)
+        col = jnp.clip(cls, 0, num_classes - 1)
+        deltas = jnp.take_along_axis(per_cls, col[:, None, None],
+                                     axis=1)[:, 0]
     gt_deltas = box_ops.encode_deltas(sp.boxes, sp.gt_boxes, BOX_REG_WEIGHTS)
     per_row = jnp.sum(L.smooth_l1(deltas, gt_deltas, beta=0.0), axis=-1)
     total = jnp.sum(jnp.where(fg, per_row, 0.0))
@@ -283,7 +293,8 @@ def fast_rcnn_inference_single(boxes: jnp.ndarray, scores: jnp.ndarray,
                                ) -> Detections:
     """fast_rcnn_inference_single_image (fast_rcnn.py:116-175), masked.
 
-    boxes (R,4) decoded class-agnostic boxes; scores (R, C+1) softmax probs
+    boxes (R,4) decoded class-agnostic boxes — or (R,C,4) per-class boxes
+    when regression is class-specific; scores (R, C+1) softmax probs
     incl. background. Per-class thresholding → class-aware NMS → top-k;
     `probs` rows carried through (the method needs full prob vectors).
 
@@ -296,13 +307,15 @@ def fast_rcnn_inference_single(boxes: jnp.ndarray, scores: jnp.ndarray,
     c = c1 - 1
     h, w = image_hw[0], image_hw[1]
     boxes = jnp.stack([
-        jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
-        jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], axis=-1)
+        jnp.clip(boxes[..., 0], 0, w), jnp.clip(boxes[..., 1], 0, h),
+        jnp.clip(boxes[..., 2], 0, w), jnp.clip(boxes[..., 3], 0, h)],
+        axis=-1)
 
-    # flatten (row, class) candidates: R*C entries
+    # flatten (row, class) candidates: R*C entries, row-major
     cand_scores = scores[:, :c].reshape(-1)                  # (R*C,)
     cand_classes = jnp.tile(jnp.arange(c, dtype=jnp.int32), (r,))
-    cand_boxes = jnp.repeat(boxes, c, axis=0)
+    cand_boxes = (jnp.repeat(boxes, c, axis=0) if boxes.ndim == 2
+                  else boxes.reshape(r * c, 4))
     cand_rows = jnp.repeat(jnp.arange(r, dtype=jnp.int32), c)
     cand_valid = (cand_scores > score_thresh) \
         & jnp.repeat(proposal_valid, c)

@@ -69,10 +69,11 @@ def _norm_flip_kernel(img_ref, flip_ref, mean_ref, std_ref, out_ref):
 
 
 def normalize_flip_pallas(images_u8: jnp.ndarray, flip: jnp.ndarray,
-                          mean: jnp.ndarray, std: jnp.ndarray
-                          ) -> jnp.ndarray:
+                          mean: jnp.ndarray, std: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) uint8 + (B,) flip flags → normalized float32, single
-    fused HBM pass per image."""
+    fused HBM pass per image. ``interpret=True`` runs the kernel in the
+    Pallas interpreter (CI coverage off-TPU)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -98,6 +99,7 @@ def normalize_flip_pallas(images_u8: jnp.ndarray, flip: jnp.ndarray,
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((rows, w, c), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
+            interpret=interpret,
         )(img, f.astype(jnp.int32).reshape(1), mean3, std3)
         return out[:h]
 
@@ -107,14 +109,15 @@ def normalize_flip_pallas(images_u8: jnp.ndarray, flip: jnp.ndarray,
 def normalize_flip(images_u8: jnp.ndarray, flip: jnp.ndarray,
                    mean: jnp.ndarray, std: jnp.ndarray,
                    use_pallas: bool = None) -> jnp.ndarray:
-    """Dispatcher: Pallas on TPU, jnp elsewhere."""
+    """Dispatcher: Pallas on TPU, jnp elsewhere.
+
+    No silent fallback on TPU: a broken kernel must fail the run (the
+    jnp path below is numerically identical, so a silent swap would be
+    invisible — it would only show up as lost fusion/perf)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        try:
-            return normalize_flip_pallas(images_u8, flip, mean, std)
-        except Exception:  # pragma: no cover - interpret/backend gaps
-            pass
+        return normalize_flip_pallas(images_u8, flip, mean, std)
     img = images_u8.astype(jnp.float32) / 255.0
     img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
     return (img - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)

@@ -132,6 +132,31 @@ def test_coin_trainer_cached_teacher(setup):
     assert int(state.step) == 2
 
 
+def test_dual_box_reg_class_specific(setup):
+    """CLS_AGNOSTIC_BBOX_REG=False activates per-class delta columns and
+    the dual online/offline box-reg losses (fast_rcnn.py:547-569),
+    end-to-end through the jitted adaptation step (the teacher inference
+    also exercises the per-class box decode path)."""
+    cfg, store = setup
+    cfg = cfg.clone()
+    cfg.MODEL.MERGE_DIM = 1024
+    cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
+    tr = CoinTrainer(cfg, store=store)
+    it = iter(tr.train_loader)
+    batch = next(it)
+    from coin_tpu.engine.pre_train import online_view_to_detections
+    arrays = (jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
+              jnp.asarray(batch.flip),
+              online_view_to_detections(batch.online["RCNN"]),
+              online_view_to_detections(batch.online["RPN"]))
+    _, losses = tr._train_step(tr.state, *arrays)
+    assert "loss_box_reg_online" in losses
+    assert "loss_box_reg_offline" in losses
+    assert "loss_box_reg" not in losses
+    assert np.isfinite(float(losses["loss_box_reg_online"]))
+    assert np.isfinite(float(losses["loss_box_reg_offline"]))
+
+
 def test_cached_step_matches_live_on_unflipped_batch(setup):
     """On an unflipped batch pre-burn-up, the cached-teacher step must
     reproduce the live step's losses (same rng streams; offline dets

@@ -90,3 +90,29 @@ def test_collect_with_real_gdino_machinery(vocab_file, loader):
     if len(v2["probs"]):
         np.testing.assert_array_equal(v2["classes"],
                                       v2["probs"].argmax(-1))
+
+
+def test_cloud_live_eval_trainer(tmp_path_factory):
+    """GDINO_test with NO collect store runs the cloud model live over
+    the val split and reports VOC mAP (reference GDINOTrainer.test,
+    coin/engine/test.py:72-102) — here with the synthetic rehearsal
+    teacher (TPU.SYNTHETIC_TEACHER)."""
+    from coin_tpu.config import load_config
+    from coin_tpu.engine.test import (CloudLiveEvalTrainer,
+                                      build_eval_trainer)
+
+    root = tmp_path_factory.mktemp("livedata")
+    make_synthetic_voc(str(root / "synth/VOC2007"), num_images=3,
+                       split="val", seed=11)
+    voc_mod.register_pascal_voc("livesynthval", "synth/VOC2007", "val",
+                                CLASSES, ".jpg")
+    cfg = load_config()
+    cfg.DATASETS.ROOT = str(root)
+    cfg.DATASETS.TEST = ["livesynthval"]
+    cfg.INPUT.TEACHER_CLOUD.MIN_SIZE_TEST = 64
+    cfg.INPUT.TEACHER_CLOUD.MAX_SIZE_TEST = 96
+    cfg.TPU.SYNTHETIC_TEACHER = True
+    tr = build_eval_trainer(cfg, "GDINO_test")
+    assert isinstance(tr, CloudLiveEvalTrainer)
+    res = tr.test()
+    assert "AP50" in res and np.isfinite(res["AP50"])

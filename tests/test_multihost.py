@@ -46,3 +46,34 @@ def test_gathered_object_round_trips_store():
     s2 = pickle.loads(pickle.dumps(s))
     np.testing.assert_allclose(s2.get_view("x", "RCNN")["boxes"],
                                s.get_view("x", "RCNN")["boxes"])
+
+
+def test_two_process_runtime_smoke():
+    """REAL two-process JAX distributed runtime (coordinator + gloo CPU
+    collectives): object allgather, ResultStore union, rank-0 metric
+    gather, global-mesh psum — the paths single-process tests no-op
+    through. Spawns tools/multihost_smoke.py twice."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "multihost_smoke.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    # children must pick their own platform/device settings
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, tool, "--process-id", str(i),
+         "--num-processes", "2", "--coordinator", f"localhost:{port}"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        assert f"rank {i}/2 OK" in out

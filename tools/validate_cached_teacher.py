@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Cached-vs-live teacher A/B (VERDICT round-1 item 5).
+
+TPU.CACHE_TEACHER serves the FROZEN pre-burn-up teacher's predictions
+from a one-time collection cache instead of recomputing the forward every
+step (engine/trainer.py train_step_cached). On flipped samples the cache
+is re-projected, so equality holds only up to the detector's flip
+equivariance. This script trains two CoinTrainer runs on synthetic VOC —
+identical seeds/data, cache on vs off, flips enabled — and compares the
+AP50 trajectories to decide whether the approximation is benign.
+
+  python tools/validate_cached_teacher.py [--iters 400] [--eval-every 100]
+      [--images 40] [--out /tmp/cached_ab.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def build_cfg(root, out, iters, eval_every, batch=2):
+    from coin_tpu.config import load_config
+    cfg = load_config()
+    cfg.DATASETS.ROOT = root
+    cfg.DATASETS.TRAIN_UNLABEL = ["abtrain"]
+    cfg.DATASETS.TEST = ["abval"]
+    cfg.OUTPUT_DIR = out
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = batch
+    cfg.SOLVER.MAX_ITER = iters
+    cfg.SOLVER.BASE_LR = 0.02
+    cfg.SOLVER.WARMUP_ITERS = 50
+    cfg.SOLVER.STEPS = [10 ** 9]
+    cfg.SOLVER.FACTOR_LIST = [1, 0.1]
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+    cfg.TEST.EVAL_PERIOD = eval_every
+    cfg.TEST.DETECTIONS_PER_IMAGE = 16
+    cfg.INPUT.MIN_SIZE_TRAIN = 96
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE = 128
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 64
+    cfg.MODEL.MERGE_DIM = 1024
+    cfg.TPU.TEXT_LAYERS = 2
+    cfg.TPU.TEXT_WIDTH = 64
+    cfg.TPU.TEXT_HEADS = 2
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.CAP_TEACHER = 16
+    cfg.TPU.CAP_C = 16
+    # all iterations pre-burn-up: the cache only ever serves step_one
+    cfg.CLOUD.BURN_UP_STEP = iters + 1
+    cfg.CLOUD.PROTOTYPE_UPDATE_START = 50
+    return cfg
+
+
+def synth_store(records, num_classes, seed=3):
+    import numpy as np
+    from coin_tpu.engine.results_store import ResultStore
+    rng = np.random.RandomState(seed)
+    store = ResultStore(num_classes)
+    for rec in records:
+        boxes = rec["boxes"] + rng.uniform(-3, 3, rec["boxes"].shape)
+        n = len(boxes)
+        probs = np.full((n, num_classes + 1), 0.04, np.float32)
+        scores = rng.uniform(0.5, 0.95, n).astype(np.float32)
+        for i, c in enumerate(rec["classes"]):
+            probs[i, c] = scores[i]
+        probs /= probs.sum(1, keepdims=True)
+        for view in ("RCNN", "RPN"):
+            store.put(rec["image_id"], view, boxes, rec["classes"],
+                      probs.max(1), probs)
+    return store
+
+
+def run_one(cfg, store, cache: bool):
+    from coin_tpu.engine.trainer import CoinTrainer
+    cfg = cfg.clone()
+    cfg.TPU.CACHE_TEACHER = bool(cache)
+    cfg.TPU.CACHE_TEACHER_MIN_STEPS = 1
+    tr = CoinTrainer(cfg, store=store)
+    t0 = time.perf_counter()
+    tr.train()
+    dt = time.perf_counter() - t0
+    return {str(k): v for k, v in tr.ap_50_student.items()}, dt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=400)
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--images", type=int, default=40)
+    p.add_argument("--out", default="/tmp/cached_ab.json")
+    args = p.parse_args(argv)
+
+    import logging
+    logging.basicConfig(level=logging.INFO)
+    import tempfile
+
+    from coin_tpu.data import voc as voc_mod
+    from coin_tpu.data.voc import load_voc_instances, make_synthetic_voc
+
+    root = tempfile.mkdtemp(prefix="ab_data_")
+    classes = ("car", "person")
+    make_synthetic_voc(os.path.join(root, "synth/VOC2007"),
+                       num_images=args.images, split="train")
+    make_synthetic_voc(os.path.join(root, "synth/VOC2007"),
+                       num_images=max(args.images // 2, 8), split="val",
+                       seed=7)
+    voc_mod.register_pascal_voc("abtrain", "synth/VOC2007", "train",
+                                classes, ".jpg")
+    voc_mod.register_pascal_voc("abval", "synth/VOC2007", "val", classes,
+                                ".jpg")
+    records = load_voc_instances(os.path.join(root, "synth/VOC2007"),
+                                 "train", classes, ".jpg")
+    store = synth_store(records, num_classes=len(classes))
+
+    out_live = tempfile.mkdtemp(prefix="ab_live_")
+    out_cached = tempfile.mkdtemp(prefix="ab_cached_")
+    cfg_live = build_cfg(root, out_live, args.iters, args.eval_every)
+    cfg_cached = build_cfg(root, out_cached, args.iters, args.eval_every)
+
+    live_ap, live_t = run_one(cfg_live, store, cache=False)
+    cached_ap, cached_t = run_one(cfg_cached, store, cache=True)
+
+    keys = sorted(set(live_ap) & set(cached_ap), key=int)
+    deltas = {k: cached_ap[k] - live_ap[k] for k in keys}
+    report = {
+        "iters": args.iters,
+        "live_ap50": live_ap, "cached_ap50": cached_ap,
+        "delta_ap50": deltas,
+        "final_delta": deltas[keys[-1]] if keys else None,
+        "max_abs_delta": max((abs(v) for v in deltas.values()),
+                             default=None),
+        "live_seconds": live_t, "cached_seconds": cached_t,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
