@@ -193,6 +193,29 @@ def main():
                          merge_opt_state, protos, rng, step, step_two,
                          strong, rng_fwd, offline)
 
+    import dataclasses as _dc
+    pcfg_fast = _dc.replace(pcfg, fast_head=True)
+
+    @jax.jit
+    def adaptation_step_fast(params, frozen, teacher, merge_p, opt_state,
+                             merge_opt_state, protos, rng, step):
+        """Live step with the teacher fast head (res5-once +
+        RoIAlign-on-res5, TPU.TEACHER_FAST_HEAD — BENCH.md round-2
+        crop-count lever). Student towers unchanged (exact)."""
+        step_two = step >= 10
+        rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
+        strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+        teacher = jax.tree.map(
+            lambda t, s: jnp.where(step_two, t * 0.9996 + s * 0.0004, t),
+            teacher, params)
+        teacher_vars = merge_params(teacher, frozen)
+        offline = pipelines.inference(model, teacher_vars, weak, image_hw,
+                                      tokens, pcfg_fast)
+        offline = jax.lax.stop_gradient(offline)
+        return step_tail(params, frozen, teacher, merge_p, opt_state,
+                         merge_opt_state, protos, rng, step, step_two,
+                         strong, rng_fwd, offline)
+
     @jax.jit
     def cached_step(params, frozen, teacher, merge_p, opt_state,
                     merge_opt_state, protos, rng, step, offline_dets):
@@ -232,6 +255,7 @@ def main():
 
     live = measure(adaptation_step, ())
     cached = measure(cached_step, (offline_sets,))
+    live_fast = measure(adaptation_step_fast, ())
 
     # schedule-weighted production rate: step_one runs cached (teacher
     # frozen pre-burn-up), step_two runs live
@@ -244,6 +268,7 @@ def main():
         "vs_baseline": round(weighted / REF_IMAGES_PER_SEC, 3),
         "live_step": round(live, 3),
         "cached_teacher_step": round(cached, 3),
+        "live_fast_head_step": round(live_fast, 3),
         "schedule": f"{BURN_UP // 1000}k cached + "
                     f"{(MAX_ITER - BURN_UP) // 1000}k live (foggy)",
     }))

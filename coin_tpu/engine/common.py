@@ -118,6 +118,14 @@ class MetricLogger:
                 self._tb.add_scalar(k, v, step)
 
     def close(self):
+        # flush any residual window so the tail iterations aren't lost
+        if self._window:
+            window = jax.device_get(dict(self._window))
+            means = {k: float(np.mean(v)) for k, v in window.items()}
+            step = (self._last_step if self._last_step is not None else 0)
+            with open(self.path, "a") as f:
+                f.write(json.dumps({"iteration": step, **means}) + "\n")
+            self._window.clear()
         if self._tb is not None:
             self._tb.flush()
             self._tb.close()

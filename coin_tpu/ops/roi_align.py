@@ -78,15 +78,19 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray,
     # out[n,r,s,c] = Σ_h Σ_w ay[n,r,h] f[h,w,c] ax[n,s,w]
     # contract the longer spatial dim first: the (N, R, short, C)
     # intermediate is the memory-traffic hot spot
+    # the (N, R, short, C) intermediate is the memory-traffic hot spot
+    # (GBs at 1000+ rois): store it in the compute dtype — under bf16
+    # that halves its HBM traffic; both contractions still accumulate
+    # in f32 on the MXU (preferred_element_type)
     if w >= h:
         tmp = jnp.einsum("nsw,hwc->nhsc", ax.astype(dtype), features,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("nrh,nhsc->nrsc", ay.astype(tmp.dtype), tmp,
+                         preferred_element_type=jnp.float32).astype(dtype)
+        out = jnp.einsum("nrh,nhsc->nrsc", ay.astype(dtype), tmp,
                          preferred_element_type=jnp.float32)
     else:
         tmp = jnp.einsum("nrh,hwc->nrwc", ay.astype(dtype), features,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("nrwc,nsw->nrsc", tmp, ax.astype(tmp.dtype),
+                         preferred_element_type=jnp.float32).astype(dtype)
+        out = jnp.einsum("nrwc,nsw->nrsc", tmp, ax.astype(dtype),
                          preferred_element_type=jnp.float32)
     return out.astype(dtype)
 

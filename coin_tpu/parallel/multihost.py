@@ -37,6 +37,15 @@ def all_gather_objects(obj: Any) -> List[Any]:
     from jax.experimental import multihost_utils
 
     payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    # the padded allgather materializes world_size × max_payload on every
+    # host — warn before a collector union silently eats tens of GB
+    gb = payload.size * jax.process_count() / 2 ** 30
+    if gb > 4.0:
+        import logging
+        logging.getLogger(__name__).warning(
+            "all_gather_objects: ~%.1f GB gathered per host (payload "
+            "%.1f MB x %d processes) — consider sharding the store "
+            "merge", gb, payload.size / 2 ** 20, jax.process_count())
     sizes = multihost_utils.process_allgather(
         np.asarray([payload.size], np.int64))
     max_size = int(sizes.max())

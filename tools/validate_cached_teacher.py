@@ -82,11 +82,12 @@ def synth_store(records, num_classes, seed=3):
     return store
 
 
-def run_one(cfg, store, cache: bool):
+def run_one(cfg, store, cache: bool, fast_head: bool = False):
     from coin_tpu.engine.trainer import CoinTrainer
     cfg = cfg.clone()
     cfg.TPU.CACHE_TEACHER = bool(cache)
     cfg.TPU.CACHE_TEACHER_MIN_STEPS = 1
+    cfg.TPU.TEACHER_FAST_HEAD = bool(fast_head)
     tr = CoinTrainer(cfg, store=store)
     t0 = time.perf_counter()
     tr.train()
@@ -100,6 +101,11 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--images", type=int, default=40)
     p.add_argument("--out", default="/tmp/cached_ab.json")
+    p.add_argument("--mode", choices=("cache", "fasthead"),
+                   default="cache",
+                   help="cache: cached vs live teacher (both exact "
+                        "head). fasthead: live fast-head teacher vs "
+                        "live exact teacher (cache off).")
     args = p.parse_args(argv)
 
     import logging
@@ -129,19 +135,27 @@ def main(argv=None):
     cfg_live = build_cfg(root, out_live, args.iters, args.eval_every)
     cfg_cached = build_cfg(root, out_cached, args.iters, args.eval_every)
 
-    live_ap, live_t = run_one(cfg_live, store, cache=False)
-    cached_ap, cached_t = run_one(cfg_cached, store, cache=True)
+    if args.mode == "cache":
+        base_ap, base_t = run_one(cfg_live, store, cache=False)
+        var_ap, var_t = run_one(cfg_cached, store, cache=True)
+        names = ("live", "cached")
+    else:  # fasthead: both live, exact vs fast teacher head
+        base_ap, base_t = run_one(cfg_live, store, cache=False,
+                                  fast_head=False)
+        var_ap, var_t = run_one(cfg_cached, store, cache=False,
+                                fast_head=True)
+        names = ("exact_head", "fast_head")
 
-    keys = sorted(set(live_ap) & set(cached_ap), key=int)
-    deltas = {k: cached_ap[k] - live_ap[k] for k in keys}
+    keys = sorted(set(base_ap) & set(var_ap), key=int)
+    deltas = {k: var_ap[k] - base_ap[k] for k in keys}
     report = {
-        "iters": args.iters,
-        "live_ap50": live_ap, "cached_ap50": cached_ap,
+        "mode": args.mode, "iters": args.iters,
+        f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
         "delta_ap50": deltas,
         "final_delta": deltas[keys[-1]] if keys else None,
         "max_abs_delta": max((abs(v) for v in deltas.values()),
                              default=None),
-        "live_seconds": live_t, "cached_seconds": cached_t,
+        f"{names[0]}_seconds": base_t, f"{names[1]}_seconds": var_t,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
