@@ -123,9 +123,10 @@ def main():
 
     def step_tail(params, frozen, teacher, merge_p, opt_state,
                   merge_opt_state, protos, rng, step, step_two, strong,
-                  rng_fwd, offline):
+                  rng_fwd, offline, pcfg):
         """Matching + student update + CKG merge update + prototype EMA
-        (shared by both step flavors)."""
+        (shared by all step flavors); ``pcfg`` sets the student shapes
+        (ROI batch)."""
         box_a_w = jnp.where(step_two, 0.5, 1.0)
         matched_rcnn = jax.vmap(lambda o, f: match_dual_teacher_single(
             o, f, 0.5, box_a_w, with_b=True))(online_rcnn, offline)
@@ -191,41 +192,57 @@ def main():
         offline = jax.lax.stop_gradient(offline)
         return step_tail(params, frozen, teacher, merge_p, opt_state,
                          merge_opt_state, protos, rng, step, step_two,
-                         strong, rng_fwd, offline)
+                         strong, rng_fwd, offline, pcfg)
 
     import dataclasses as _dc
-    pcfg_fast = _dc.replace(pcfg, fast_head=True)
+    # fast recipe (configs/coin/GDINO/foggy_fast.yaml): teacher fast
+    # head + teacher proposal budget 512 + student ROI batch 256 —
+    # every knob AP-validated by tools/validate_cached_teacher.py modes
+    pcfg_fast = _dc.replace(pcfg, fast_head=True,
+                            pre_nms_topk_test=3000,
+                            post_nms_topk_test=512)
+    pcfg_r256 = _dc.replace(pcfg, roi_batch_size=256)
+    pcfg_fast_r256 = _dc.replace(pcfg_fast, roi_batch_size=256)
 
-    @jax.jit
-    def adaptation_step_fast(params, frozen, teacher, merge_p, opt_state,
-                             merge_opt_state, protos, rng, step):
-        """Live step with the teacher fast head (res5-once +
-        RoIAlign-on-res5, TPU.TEACHER_FAST_HEAD — BENCH.md round-2
-        crop-count lever). Student towers unchanged (exact)."""
-        step_two = step >= 10
-        rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
-        strong, weak = preprocess_batch(images_u8, flip, rng_aug)
-        teacher = jax.tree.map(
-            lambda t, s: jnp.where(step_two, t * 0.9996 + s * 0.0004, t),
-            teacher, params)
-        teacher_vars = merge_params(teacher, frozen)
-        offline = pipelines.inference(model, teacher_vars, weak, image_hw,
-                                      tokens, pcfg_fast)
-        offline = jax.lax.stop_gradient(offline)
-        return step_tail(params, frozen, teacher, merge_p, opt_state,
-                         merge_opt_state, protos, rng, step, step_two,
-                         strong, rng_fwd, offline)
+    def make_live_step(teacher_pcfg, student_pcfg):
+        @jax.jit
+        def live_step(params, frozen, teacher, merge_p, opt_state,
+                      merge_opt_state, protos, rng, step):
+            step_two = step >= 10
+            rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
+            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+            teacher_t = jax.tree.map(
+                lambda t, s: jnp.where(step_two,
+                                       t * 0.9996 + s * 0.0004, t),
+                teacher, params)
+            teacher_vars = merge_params(teacher_t, frozen)
+            offline = pipelines.inference(model, teacher_vars, weak,
+                                          image_hw, tokens, teacher_pcfg)
+            offline = jax.lax.stop_gradient(offline)
+            return step_tail(params, frozen, teacher_t, merge_p,
+                             opt_state, merge_opt_state, protos, rng,
+                             step, step_two, strong, rng_fwd, offline,
+                             student_pcfg)
+        return live_step
 
-    @jax.jit
-    def cached_step(params, frozen, teacher, merge_p, opt_state,
-                    merge_opt_state, protos, rng, step, offline_dets):
-        step_two = step >= 10
-        rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
-        strong, weak = preprocess_batch(images_u8, flip, rng_aug)
-        offline = offline_dets  # cached-teacher step: no teacher tower
-        return step_tail(params, frozen, teacher, merge_p, opt_state,
-                         merge_opt_state, protos, rng, step, step_two,
-                         strong, rng_fwd, offline)
+    adaptation_step_fast = make_live_step(pcfg_fast, pcfg)
+    adaptation_step_fast_r256 = make_live_step(pcfg_fast, pcfg_r256)
+
+    def make_cached_step(student_pcfg):
+        @jax.jit
+        def cached_step(params, frozen, teacher, merge_p, opt_state,
+                        merge_opt_state, protos, rng, step, offline_dets):
+            step_two = step >= 10
+            rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
+            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+            offline = offline_dets  # cached teacher: no teacher tower
+            return step_tail(params, frozen, teacher, merge_p, opt_state,
+                             merge_opt_state, protos, rng, step, step_two,
+                             strong, rng_fwd, offline, student_pcfg)
+        return cached_step
+
+    cached_step = make_cached_step(pcfg)
+    cached_step_r256 = make_cached_step(pcfg_r256)
 
     def measure(step_fn, extra, iters=10):
         """Per-iteration device sync. A single block_until_ready on the
@@ -256,19 +273,36 @@ def main():
     live = measure(adaptation_step, ())
     cached = measure(cached_step, (offline_sets,))
     live_fast = measure(adaptation_step_fast, ())
+    cached_r256 = measure(cached_step_r256, (offline_sets,))
+    live_fast_r256 = measure(adaptation_step_fast_r256, ())
 
     # schedule-weighted production rate: step_one runs cached (teacher
     # frozen pre-burn-up), step_two runs live
     w_cached = BURN_UP / MAX_ITER
-    weighted = 1.0 / (w_cached / cached + (1.0 - w_cached) / live)
+
+    def sched(c, l):
+        return 1.0 / (w_cached / c + (1.0 - w_cached) / l)
+
+    # parity recipe: reference shapes (ROI 512, teacher budget 1000,
+    # exact head), cached step_one (AP-equivalence validated —
+    # tools/validate_cached_teacher.py, BENCH.md)
+    weighted_parity = sched(cached, live)
+    # fast recipe (foggy_fast.yaml): + teacher fast head + budget 512 +
+    # student ROI 256, each knob A/B'd on the same harness
+    weighted_fast = sched(cached_r256, live_fast_r256)
     print(json.dumps({
         "metric": "adaptation_images_per_sec_per_chip",
-        "value": round(weighted, 3),
+        "value": round(weighted_fast, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(weighted / REF_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(weighted_fast / REF_IMAGES_PER_SEC, 3),
+        "parity_recipe": round(weighted_parity, 3),
+        "parity_vs_baseline": round(weighted_parity / REF_IMAGES_PER_SEC,
+                                    3),
         "live_step": round(live, 3),
         "cached_teacher_step": round(cached, 3),
         "live_fast_head_step": round(live_fast, 3),
+        "cached_roi256_step": round(cached_r256, 3),
+        "live_fast_roi256_step": round(live_fast_r256, 3),
         "schedule": f"{BURN_UP // 1000}k cached + "
                     f"{(MAX_ITER - BURN_UP) // 1000}k live (foggy)",
     }))

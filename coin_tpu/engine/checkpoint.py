@@ -60,6 +60,17 @@ class Checkpointer:
         logger.info("restored checkpoint: %s", path)
         return restored
 
+    def load_tree(self, path: str) -> Any:
+        """Structure-agnostic restore (no target): returns the raw
+        nested dict. Lets a trainer load a checkpoint saved by a
+        DIFFERENT trainer's TrainState shape — e.g. CoinTrainer taking
+        params/prototypes from a PRETrainer checkpoint (the reference's
+        'CLIPDET weights + collect file' fresh-start semantics,
+        coin/engine/trainer.py:220-235)."""
+        restored = self._ckpt.restore(path)
+        logger.info("restored checkpoint tree: %s", path)
+        return restored
+
     def load_latest(self, target: Any) -> Any:
         path = self.latest_path()
         if path is None:

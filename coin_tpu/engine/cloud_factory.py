@@ -103,7 +103,9 @@ def build_cloud_detector(cfg, arch, class_names):
         tok = WordPieceTokenizer(vocab)
         det = GDINODetector(
             model, params, bert_apply, class_names, tok,
-            threshold=cfg.MODEL.TEACHER_CLOUD.TEST_THRESHOLD)
+            threshold=cfg.MODEL.TEACHER_CLOUD.TEST_THRESHOLD,
+            per_class_test=cfg.MODEL.TEACHER_CLOUD.get(
+                "PER_CLASS_TEST", False))
         if arch == "GDINO_CLASSONLY":
             det = ClassOnlyAdapter(det, len(class_names))
         return det

@@ -62,6 +62,16 @@ def rescale_to_original(det_np: Dict[str, np.ndarray],
     return out
 
 
+def lr_value(schedule, step) -> float:
+    """LR for logging: prefer the schedule's pure-python `.host` mirror
+    (no device dispatch per log line — the remote-TPU relay
+    intermittently rejects tiny eager executables)."""
+    host = getattr(schedule, "host", None)
+    if host is not None:
+        return host(step)
+    return float(schedule(step))
+
+
 class MetricLogger:
     """Console + metrics.json (+ optional TensorBoard) writer (replaces
     CommonMetricPrinter / JSONWriter / TensorboardXWriter,

@@ -20,6 +20,7 @@ import optax
 from coin_tpu.data.augment import preprocess_batch
 from coin_tpu.engine import pipelines
 from coin_tpu.engine.base import DetectorTrainerBase
+from coin_tpu.engine.common import lr_value
 from coin_tpu.engine.state import TrainState, jit_train_step, merge_params
 from coin_tpu.structures import Detections
 
@@ -91,7 +92,7 @@ class OracleTrainer(DetectorTrainerBase):
             # device scalars: materialized only at the logger's flush
             metrics = dict(losses)
             if i % self.metrics.period == 0:
-                metrics["lr"] = float(self.schedule(i))
+                metrics["lr"] = lr_value(self.schedule, i)
             self.metrics.log(i, metrics)
             if (i + 1) % self.cfg.TEST.EVAL_PERIOD == 0:
                 self.ap_50[i] = self.test()["AP50"]

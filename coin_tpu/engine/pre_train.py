@@ -21,6 +21,7 @@ from coin_tpu.data.augment import preprocess_batch
 from coin_tpu.data.loader import TrainLoader
 from coin_tpu.engine import coin_pipelines
 from coin_tpu.engine.base import DetectorTrainerBase
+from coin_tpu.engine.common import lr_value
 from coin_tpu.engine.results_store import ResultStore
 from coin_tpu.engine.state import Prototypes, TrainState, jit_train_step
 from coin_tpu.structures import Detections
@@ -140,7 +141,7 @@ class PRETrainer(DetectorTrainerBase):
             # device scalars: materialized only at the logger's flush
             metrics = dict(losses)
             if i % self.metrics.period == 0:
-                metrics["lr"] = float(self.schedule(i))
+                metrics["lr"] = lr_value(self.schedule, i)
             self.metrics.log(i, metrics)
             if (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 self.ap_50[i] = self.test()["AP50"]

@@ -29,6 +29,7 @@ from coin_tpu.data.augment import preprocess_batch
 from coin_tpu.data.loader import TrainLoader
 from coin_tpu.engine import coin_pipelines, pipelines
 from coin_tpu.engine.base import DetectorTrainerBase
+from coin_tpu.engine.common import lr_value
 from coin_tpu.engine.matching import match_dual_teacher_single
 from coin_tpu.engine.pre_train import online_view_to_detections
 from coin_tpu.engine.results_store import ResultStore
@@ -347,8 +348,8 @@ class CoinTrainer(DetectorTrainerBase):
             # them only at its flush period, so the step chain stays async
             metrics = dict(losses)
             if i % self.metrics.period == 0:
-                metrics["lr"] = float(self.schedule(i))
-                metrics["merge_lr"] = float(self.merge_schedule(i))
+                metrics["lr"] = lr_value(self.schedule, i)
+                metrics["merge_lr"] = lr_value(self.merge_schedule, i)
             self.metrics.log(i, metrics)
             if i == cfg.CLOUD.BURN_UP_STEP - 1:
                 self.checkpointer.save(self.state, i,
@@ -402,11 +403,18 @@ class CoinTrainer(DetectorTrainerBase):
             self.train_loader.store = self.store
             logger.info("loaded collect store from %s", paths[1])
         if os.path.exists(pre):
-            restored = self.checkpointer.load(pre, self.state)
-            # take params + prototypes from the pretrain checkpoint;
-            # teacher starts as a copy of the student (trainer.py:225-235)
+            # structure-agnostic load: the pretrain TrainState lacks the
+            # teacher/merge fields, so restore the raw tree and take
+            # params + prototypes; teacher starts as a copy of the
+            # student (trainer.py:225-235)
+            raw = self.checkpointer.load_tree(pre)
+            as_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+            params = as_jnp(raw["params"])
+            pr = raw["prototypes"]
             self.state = self.state.replace(
-                params=restored.params, frozen=restored.frozen,
-                prototypes=restored.prototypes,
-                teacher_params=jax.tree.map(jnp.copy, restored.params))
+                params=params, frozen=as_jnp(raw["frozen"]),
+                prototypes=Prototypes(jnp.asarray(pr["proto"]),
+                                      jnp.asarray(pr["b_online"]),
+                                      jnp.asarray(pr["b_offline"])),
+                teacher_params=jax.tree.map(jnp.copy, params))
             logger.info("loaded CLIPDET pretrain weights from %s", pre)

@@ -41,6 +41,21 @@ def two_stage_lr_schedule(base_lr: float, milestones: Sequence[int],
         idx = jnp.sum(step >= milestones)
         return base_lr * warm * factors[idx]
 
+    def host(step) -> float:
+        """Pure-python mirror for logging: the jnp schedule traces inside
+        the jitted step; calling it eagerly per log line would dispatch a
+        tiny device executable (and the remote-TPU relay intermittently
+        rejects those with INVALID_ARGUMENT)."""
+        import bisect
+        step = float(step)
+        alpha = step / max(warmup_iters, 1)
+        warm = (1.0 if step >= warmup_iters
+                else warmup_factor * (1 - alpha) + alpha)
+        idx = bisect.bisect_right(list(milestone_list), step)
+        return float(base_lr * warm * factor_list[idx])
+
+    milestone_list = list(milestones.tolist())
+    schedule.host = host
     return schedule
 
 

@@ -61,10 +61,12 @@ echo "== stage 2: CLIPDET pre-train =="
 python train_net.py --config "$WORK/base.yaml" --device cpu \
   CLOUD.Trainer PRETrainer OUTPUT_DIR "$WORK/pretrain"
 
-echo "== stage 3: dual-teacher adaptation =="
+echo "== stage 3: dual-teacher adaptation (from the CLIPDET ckpt) =="
+PRE_CKPT=$(ls -d "$WORK"/pretrain/checkpoints/pre_train_CLIP_* | tail -1)
 python train_net.py --config "$WORK/base.yaml" --device cpu \
   CLOUD.Trainer CoinTrainer CLOUD.BURN_UP_STEP 2 \
   CLOUD.PROTOTYPE_UPDATE_START 1 SOLVER.MAX_ITER 4 \
+  MODEL.WEIGHTS "$PRE_CKPT" \
   OUTPUT_DIR "$WORK/final"
 
 echo "== eval (student) =="

@@ -94,6 +94,37 @@ def test_pretrainer_steps(setup):
                            np.asarray(state.prototypes.proto))
 
 
+def test_pretrain_ckpt_loads_into_coin_trainer(setup, tmp_path):
+    """The production hand-off (reference trainer.py:220-235): CoinTrainer
+    starts from a PRETrainer checkpoint via MODEL.WEIGHTS. The two
+    TrainStates have different shapes (no teacher/merge fields in
+    pretrain), so this must go through the structure-agnostic raw-tree
+    restore — round-2 regression test for the mismatch bug."""
+    import os
+    cfg, store = setup
+    cfg = cfg.clone()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    tr_pre = PRETrainer(cfg.clone(), store=store)
+    state = tr_pre.train(max_iter=1)
+    ckpt = os.path.join(str(tmp_path), "checkpoints",
+                        "pre_train_CLIP_0000001")
+    assert os.path.isdir(ckpt)
+
+    cfg2 = cfg.clone()
+    cfg2.MODEL.MERGE_DIM = 1024
+    cfg2.MODEL.WEIGHTS = ckpt
+    tr = CoinTrainer(cfg2, store=store)
+    tr.resume_or_load(False)
+    import jax
+    got = jax.tree_util.tree_leaves(tr.state.params)[0]
+    want = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    # teacher initialized as a copy of the loaded student
+    tgot = jax.tree_util.tree_leaves(tr.state.teacher_params)[0]
+    np.testing.assert_allclose(np.asarray(tgot), np.asarray(want))
+    assert int(tr.state.step) == 0  # fresh start, not a resume
+
+
 @pytest.fixture(scope="module")
 def coin_trainer(setup):
     cfg, store = setup

@@ -36,6 +36,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+    # honor JAX_PLATFORMS even when a sitecustomize pins an accelerator
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from coin_tpu.config import load_config

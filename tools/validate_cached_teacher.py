@@ -82,13 +82,32 @@ def synth_store(records, num_classes, seed=3):
     return store
 
 
-def run_one(cfg, store, cache: bool, fast_head: bool = False):
+def pretrain(cfg, store, iters):
+    """Stage-2 CLIPDET pre-train on the synthetic store — the adaptation
+    A/B must start from a sane offline teacher (from random init the
+    A-set is empty and every arm flatlines at AP 0)."""
+    from coin_tpu.engine.pre_train import PRETrainer
+    cfg = cfg.clone()
+    cfg.SOLVER.MAX_ITER = iters
+    tr = PRETrainer(cfg, store=store)
+    tr.train()
+    ap = tr.test()["AP50"]
+    ckpt = os.path.join(cfg.OUTPUT_DIR, "checkpoints",
+                        f"pre_train_CLIP_{iters:07d}")
+    return ckpt, ap
+
+
+def run_one(cfg, store, cache: bool, fast_head: bool = False,
+            weights: str = ""):
     from coin_tpu.engine.trainer import CoinTrainer
     cfg = cfg.clone()
     cfg.TPU.CACHE_TEACHER = bool(cache)
     cfg.TPU.CACHE_TEACHER_MIN_STEPS = 1
     cfg.TPU.TEACHER_FAST_HEAD = bool(fast_head)
+    if weights:
+        cfg.MODEL.WEIGHTS = weights
     tr = CoinTrainer(cfg, store=store)
+    tr.resume_or_load(False)
     t0 = time.perf_counter()
     tr.train()
     dt = time.perf_counter() - t0
@@ -100,12 +119,16 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=400)
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--images", type=int, default=40)
+    p.add_argument("--pre-iters", type=int, default=600,
+                   help="CLIPDET pretrain iterations before the A/B")
     p.add_argument("--out", default="/tmp/cached_ab.json")
-    p.add_argument("--mode", choices=("cache", "fasthead"),
+    p.add_argument("--mode", choices=("cache", "fasthead", "roibatch"),
                    default="cache",
                    help="cache: cached vs live teacher (both exact "
                         "head). fasthead: live fast-head teacher vs "
-                        "live exact teacher (cache off).")
+                        "live exact teacher (cache off). roibatch: "
+                        "half the student ROI batch vs full (cached "
+                        "teacher both).")
     args = p.parse_args(argv)
 
     import logging
@@ -130,26 +153,43 @@ def main(argv=None):
                                  "train", classes, ".jpg")
     store = synth_store(records, num_classes=len(classes))
 
+    out_pre = tempfile.mkdtemp(prefix="ab_pre_")
     out_live = tempfile.mkdtemp(prefix="ab_live_")
     out_cached = tempfile.mkdtemp(prefix="ab_cached_")
+    cfg_pre = build_cfg(root, out_pre, args.pre_iters, 10 ** 9)
     cfg_live = build_cfg(root, out_live, args.iters, args.eval_every)
     cfg_cached = build_cfg(root, out_cached, args.iters, args.eval_every)
 
+    ckpt, pre_ap = pretrain(cfg_pre, store, args.pre_iters)
+    print(f"pretrain AP50 = {pre_ap:.2f} ({args.pre_iters} iters)")
+
     if args.mode == "cache":
-        base_ap, base_t = run_one(cfg_live, store, cache=False)
-        var_ap, var_t = run_one(cfg_cached, store, cache=True)
-        names = ("live", "cached")
-    else:  # fasthead: both live, exact vs fast teacher head
         base_ap, base_t = run_one(cfg_live, store, cache=False,
-                                  fast_head=False)
+                                  weights=ckpt)
+        var_ap, var_t = run_one(cfg_cached, store, cache=True,
+                                weights=ckpt)
+        names = ("live", "cached")
+    elif args.mode == "fasthead":  # both live, exact vs fast teacher head
+        base_ap, base_t = run_one(cfg_live, store, cache=False,
+                                  fast_head=False, weights=ckpt)
         var_ap, var_t = run_one(cfg_cached, store, cache=False,
-                                fast_head=True)
+                                fast_head=True, weights=ckpt)
         names = ("exact_head", "fast_head")
+    else:  # roibatch: student ROI batch halved (512→256 at production)
+        base_ap, base_t = run_one(cfg_live, store, cache=True,
+                                  weights=ckpt)
+        cfg_half = cfg_cached.clone()
+        cfg_half.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
+        var_ap, var_t = run_one(cfg_half, store, cache=True,
+                                weights=ckpt)
+        names = ("roi_full", "roi_half")
 
     keys = sorted(set(base_ap) & set(var_ap), key=int)
     deltas = {k: var_ap[k] - base_ap[k] for k in keys}
     report = {
         "mode": args.mode, "iters": args.iters,
+        "pretrain_iters": args.pre_iters,
+        "pretrain_ap50": pre_ap,
         f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
         "delta_ap50": deltas,
         "final_delta": deltas[keys[-1]] if keys else None,

@@ -41,9 +41,12 @@ def parse_args(argv=None):
 
 
 def setup(args):
-    if args.device:
+    # --device wins; else honor JAX_PLATFORMS even when a sitecustomize
+    # pins an accelerator platform (the env var alone is overridden)
+    platform = args.device or os.environ.get("JAX_PLATFORMS")
+    if platform:
         import jax
-        jax.config.update("jax_platforms", args.device)
+        jax.config.update("jax_platforms", platform)
     from coin_tpu.config import load_config
     cfg = load_config(args.config or None, args.opts)
     if args.data_root:
