@@ -74,16 +74,20 @@ def jit_train_step(fn, donate_default: bool = True):
     - CPU backend: the virtual multi-device mesh crashes when donated
       buffers alias across a collective rendezvous (see BENCH.md) —
       always plain jit.
-    - ``donate_default=False`` (used by the dual-teacher step): the
-      remote-TPU relay in this environment rejects that executable's
-      donation/aliasing pattern with an opaque INVALID_ARGUMENT
-      (the oracle/pretrain steps donate fine). Env override
-      ``COIN_TPU_DONATE=1/0`` forces it either way — set 1 on
-      direct-attached TPUs.
+    - Remote-TPU relays: donation defaults OFF. Root-caused in round 2
+      (tools/probe_donation.py + A/B evidence): the relay rejects the
+      FIRST EXECUTION of any donated train step with an opaque
+      INVALID_ARGUMENT — the identical step runs with donation
+      disabled, so it is a relay/transport limitation, not an aliasing
+      bug in the step. Round 1 saw this only on the dual-teacher step;
+      the relay now rejects the pretrain step too (environment
+      changed). ``COIN_TPU_DONATE=1`` re-enables on direct-attached
+      TPUs, where donation halves TrainState HBM double-buffering.
     """
     import os
     env = os.environ.get("COIN_TPU_DONATE", "")
-    donate = donate_default if env == "" else env == "1"
+    donate = env == "1" if env else False
+    del donate_default  # kept for call-site compatibility
     if jax.default_backend() == "cpu" or not donate:
         return jax.jit(fn)
     return jax.jit(fn, donate_argnums=(0,))

@@ -121,6 +121,10 @@ def main(argv=None):
     p.add_argument("--images", type=int, default=40)
     p.add_argument("--pre-iters", type=int, default=600,
                    help="CLIPDET pretrain iterations before the A/B")
+    p.add_argument("--seeds", type=int, default=1,
+                   help="repeat the A/B over N seeds and aggregate "
+                        "(single-seed AP on tiny synthetic data is "
+                        "±tens of AP noisy)")
     p.add_argument("--out", default="/tmp/cached_ab.json")
     p.add_argument("--mode", choices=("cache", "fasthead", "roibatch"),
                    default="cache",
@@ -153,53 +157,73 @@ def main(argv=None):
                                  "train", classes, ".jpg")
     store = synth_store(records, num_classes=len(classes))
 
-    out_pre = tempfile.mkdtemp(prefix="ab_pre_")
-    out_live = tempfile.mkdtemp(prefix="ab_live_")
-    out_cached = tempfile.mkdtemp(prefix="ab_cached_")
-    cfg_pre = build_cfg(root, out_pre, args.pre_iters, 10 ** 9)
-    cfg_live = build_cfg(root, out_live, args.iters, args.eval_every)
-    cfg_cached = build_cfg(root, out_cached, args.iters, args.eval_every)
+    def run_seed(seed_idx):
+        out_pre = tempfile.mkdtemp(prefix="ab_pre_")
+        out_base = tempfile.mkdtemp(prefix="ab_base_")
+        out_var = tempfile.mkdtemp(prefix="ab_var_")
+        cfg_pre = build_cfg(root, out_pre, args.pre_iters, 10 ** 9)
+        cfg_base = build_cfg(root, out_base, args.iters, args.eval_every)
+        cfg_var = build_cfg(root, out_var, args.iters, args.eval_every)
+        for c in (cfg_pre, cfg_base, cfg_var):
+            c.SEED = 2024 + 101 * seed_idx
 
-    ckpt, pre_ap = pretrain(cfg_pre, store, args.pre_iters)
-    print(f"pretrain AP50 = {pre_ap:.2f} ({args.pre_iters} iters)")
+        ckpt, pre_ap = pretrain(cfg_pre, store, args.pre_iters)
+        print(f"[seed {seed_idx}] pretrain AP50 = {pre_ap:.2f}")
 
-    if args.mode == "cache":
-        base_ap, base_t = run_one(cfg_live, store, cache=False,
-                                  weights=ckpt)
-        var_ap, var_t = run_one(cfg_cached, store, cache=True,
-                                weights=ckpt)
-        names = ("live", "cached")
-    elif args.mode == "fasthead":  # both live, exact vs fast teacher head
-        base_ap, base_t = run_one(cfg_live, store, cache=False,
-                                  fast_head=False, weights=ckpt)
-        var_ap, var_t = run_one(cfg_cached, store, cache=False,
-                                fast_head=True, weights=ckpt)
-        names = ("exact_head", "fast_head")
-    else:  # roibatch: student ROI batch halved (512→256 at production)
-        base_ap, base_t = run_one(cfg_live, store, cache=True,
-                                  weights=ckpt)
-        cfg_half = cfg_cached.clone()
-        cfg_half.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
-        var_ap, var_t = run_one(cfg_half, store, cache=True,
-                                weights=ckpt)
-        names = ("roi_full", "roi_half")
+        if args.mode == "cache":
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
+                                      weights=ckpt)
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
+            names = ("live", "cached")
+        elif args.mode == "fasthead":  # exact vs fast teacher head, live
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
+                                      fast_head=False, weights=ckpt)
+            var_ap, var_t = run_one(cfg_var, store, cache=False,
+                                    fast_head=True, weights=ckpt)
+            names = ("exact_head", "fast_head")
+        else:  # roibatch: student ROI batch halved (512→256 production)
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            cfg_half = cfg_var.clone()
+            cfg_half.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
+            var_ap, var_t = run_one(cfg_half, store, cache=True,
+                                    weights=ckpt)
+            names = ("roi_full", "roi_half")
+        return names, pre_ap, base_ap, var_ap, base_t, var_t
 
-    keys = sorted(set(base_ap) & set(var_ap), key=int)
-    deltas = {k: var_ap[k] - base_ap[k] for k in keys}
+    per_seed = []
+    for s in range(args.seeds):
+        names, pre_ap, base_ap, var_ap, base_t, var_t = run_seed(s)
+        keys = sorted(set(base_ap) & set(var_ap), key=int)
+        final_key = keys[-1] if keys else None
+        per_seed.append({
+            "seed": s, "pretrain_ap50": pre_ap,
+            f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
+            "final_base": base_ap.get(final_key),
+            "final_var": var_ap.get(final_key),
+            f"{names[0]}_seconds": base_t, f"{names[1]}_seconds": var_t,
+        })
+
+    import numpy as np
+    fb = [r["final_base"] for r in per_seed if r["final_base"] is not None]
+    fv = [r["final_var"] for r in per_seed if r["final_var"] is not None]
     report = {
         "mode": args.mode, "iters": args.iters,
-        "pretrain_iters": args.pre_iters,
-        "pretrain_ap50": pre_ap,
-        f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
-        "delta_ap50": deltas,
-        "final_delta": deltas[keys[-1]] if keys else None,
-        "max_abs_delta": max((abs(v) for v in deltas.values()),
-                             default=None),
-        f"{names[0]}_seconds": base_t, f"{names[1]}_seconds": var_t,
+        "pretrain_iters": args.pre_iters, "seeds": args.seeds,
+        "arms": list(names),
+        "final_base_mean": float(np.mean(fb)) if fb else None,
+        "final_base_std": float(np.std(fb)) if fb else None,
+        "final_var_mean": float(np.mean(fv)) if fv else None,
+        "final_var_std": float(np.std(fv)) if fv else None,
+        "final_delta_mean": (float(np.mean(fv) - np.mean(fb))
+                             if fb and fv else None),
+        "per_seed": per_seed,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps(report, indent=2))
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != "per_seed"}, indent=2))
 
 
 if __name__ == "__main__":
