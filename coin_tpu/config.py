@@ -139,6 +139,8 @@ def default_config() -> CfgNode:
                 "WEIGHT": "",
                 "TEST_THRESHOLD": 0.25,
                 "PER_CLASS_TEST": False,
+                # per-(query,class)-pair filtering (gdino.py:193-203)
+                "USE_DINO_TYPE_FILTER": False,
             },
             "TEACHER_OFFLINE": {
                 "META_ARCHITECTURE": "CLIP",

@@ -105,7 +105,9 @@ def build_cloud_detector(cfg, arch, class_names):
             model, params, bert_apply, class_names, tok,
             threshold=cfg.MODEL.TEACHER_CLOUD.TEST_THRESHOLD,
             per_class_test=cfg.MODEL.TEACHER_CLOUD.get(
-                "PER_CLASS_TEST", False))
+                "PER_CLASS_TEST", False),
+            type_filter=cfg.MODEL.TEACHER_CLOUD.get(
+                "USE_DINO_TYPE_FILTER", False))
         if arch == "GDINO_CLASSONLY":
             det = ClassOnlyAdapter(det, len(class_names))
         return det

@@ -69,34 +69,64 @@ def phrase_self_attention_mask(ids: np.ndarray, sep_ids: Sequence[int],
     return mask
 
 
+def _renorm_with_bg(probs_fg: jnp.ndarray) -> jnp.ndarray:
+    """Reference renormalization (gdino.py:186-188): append a ZERO
+    background column, then softmax(log p) — i.e. fg probs renormalize
+    to sum 1 and the bg prob is exactly 0 (the column is cosmetic; the
+    CLIP re-scorer later fills in a real bg prob). All-zero rows resolve
+    to uniform-over-fg instead of NaN (the reference filters such rows
+    before use)."""
+    logp = jnp.log(jnp.maximum(probs_fg, 1e-12))
+    bg = jnp.full(probs_fg.shape[:-1] + (1,), -1e9, probs_fg.dtype)
+    return jax.nn.softmax(jnp.concatenate([logp, bg], axis=-1), axis=-1)
+
+
 def postprocess_gdino(logits: jnp.ndarray, boxes: jnp.ndarray,
                       positive_map: jnp.ndarray, image_hw: jnp.ndarray,
                       threshold: float = 0.25,
-                      capacity: int = 900) -> Detections:
+                      capacity: int = 900,
+                      type_filter: bool = False) -> Detections:
     """One image: logits (nq, T) pre-sigmoid; boxes (nq, 4) normalized
     cxcywh; positive_map (C, T). Returns padded Detections in image
     coordinates with probs incl. background column
-    (gdino.py:144-203 semantics)."""
+    (gdino.py:144-203 semantics).
+
+    ``type_filter`` = USE_DINO_TYPE_FILTER (gdino.py:193-203): filter
+    per (query, class) PAIR above the threshold — one detection per
+    pair — instead of per query with its argmax class."""
     nq = logits.shape[0]
     sig = jax.nn.sigmoid(logits)
     sig = jnp.where(jnp.isfinite(logits), sig, 0.0)
     # per-class prob = mean over the class's tokens (normalized map)
     probs_fg = sig @ positive_map.T                      # (nq, C)
-    scores = jnp.max(probs_fg, axis=-1)
-    classes = jnp.argmax(probs_fg, axis=-1).astype(jnp.int32)
-    keep = scores > threshold
-
-    # background column: 1 − max_fg, then renormalize via softmax(log p)
-    bg = jnp.clip(1.0 - scores, 1e-6, 1.0)[:, None]
-    probs = jnp.concatenate([jnp.maximum(probs_fg, 1e-6), bg], axis=-1)
-    probs = jax.nn.softmax(jnp.log(probs), axis=-1)
-    scores = jnp.take_along_axis(probs, classes[:, None], axis=-1)[:, 0]
+    probs = _renorm_with_bg(probs_fg)                    # (nq, C+1)
 
     h, w = image_hw[0], image_hw[1]
     cx, cy, bw, bh = (boxes[:, 0] * w, boxes[:, 1] * h,
                       boxes[:, 2] * w, boxes[:, 3] * h)
     xyxy = jnp.stack([cx - bw / 2, cy - bh / 2,
                       cx + bw / 2, cy + bh / 2], axis=-1)
+
+    if type_filter:
+        c = probs_fg.shape[-1]
+        keep = (probs_fg > threshold).reshape(-1)        # (nq*C,)
+        classes = jnp.tile(jnp.arange(c, dtype=jnp.int32), (nq,))
+        rows = jnp.repeat(jnp.arange(nq), c)
+        det = Detections(
+            boxes=jnp.take(xyxy, rows, axis=0),
+            scores=jnp.take(probs, rows, axis=0).reshape(-1, c + 1)[
+                jnp.arange(nq * c), classes],
+            classes=classes, valid=keep,
+            probs=jnp.take(probs, rows, axis=0))
+        order = jnp.argsort(~det.valid, stable=True)[:capacity]
+        return det.gather(order, jnp.take(det.valid, order))
+
+    # default: one detection per query at its max class, filtered on the
+    # RAW (pre-renorm) max prob (gdino.py:182-184)
+    raw_scores = jnp.max(probs_fg, axis=-1)
+    classes = jnp.argmax(probs_fg, axis=-1).astype(jnp.int32)
+    keep = raw_scores > threshold
+    scores = jnp.take_along_axis(probs, classes[:, None], axis=-1)[:, 0]
     det = Detections(boxes=xyxy, scores=scores, classes=classes,
                      valid=keep, probs=probs)
     if capacity != nq:
@@ -119,21 +149,25 @@ class GDINODetector:
     def __init__(self, model, params, bert_apply: Callable,
                  class_names: Sequence[str], tokenizer,
                  threshold: float = 0.25, capacity: int = 256,
-                 per_class_test: bool = False):
+                 per_class_test: bool = False,
+                 type_filter: bool = False):
         """per_class_test: one caption per class, C separate forwards,
         concatenated (MODEL.TEACHER_CLOUD.PER_CLASS_TEST,
-        gdino.py per_class_test mode)."""
+        gdino.py per_class_test mode). type_filter =
+        MODEL.TEACHER_CLOUD.USE_DINO_TYPE_FILTER (per-pair filtering,
+        gdino.py:193-203)."""
         self.model = model
         self.params = params
         self.bert_apply = bert_apply
         self.threshold = threshold
         self.capacity = capacity
         self.per_class_test = per_class_test
+        self.type_filter = type_filter
         if per_class_test:
             self._sub = [GDINODetector(model, params, bert_apply, [name],
                                        tokenizer, threshold,
                                        max(capacity // len(class_names),
-                                           16))
+                                           16), type_filter=type_filter)
                          for name in class_names]
             self._class_names = list(class_names)
             return
@@ -162,7 +196,8 @@ class GDINODetector:
             pm = jnp.asarray(self.positive_map)
             return jax.vmap(
                 lambda lg, bx, hw: postprocess_gdino(
-                    lg, bx, pm, hw, self.threshold, self.capacity)
+                    lg, bx, pm, hw, self.threshold, self.capacity,
+                    type_filter=self.type_filter)
             )(logits, boxes, image_hw)
 
         self._run = _run

@@ -35,13 +35,15 @@ def one_hot_probs(classes: jnp.ndarray, num_classes: int,
 
 def synthetic_probs(classes: jnp.ndarray, scores: jnp.ndarray,
                     num_classes: int, valid: jnp.ndarray) -> jnp.ndarray:
-    """p[cls]=score, remaining (1−score) spread over the other classes
-    (incl. background)."""
+    """p[cls]=score, remaining (1−score) spread over the other FG
+    classes; background column stays 0 (glip.py:101-104 /
+    gdino1_5API.py:81-85: ``probs[i,:-1]=(1-s)/(C-1); probs[i,l]=s``)."""
     c1 = num_classes + 1
     oh = jax.nn.one_hot(jnp.clip(classes, 0, num_classes), c1,
                         dtype=jnp.float32)
-    rest = (1.0 - scores[..., None]) / (c1 - 1)
+    rest = (1.0 - scores[..., None]) / max(num_classes - 1, 1)
     probs = oh * scores[..., None] + (1.0 - oh) * rest
+    probs = probs.at[..., -1].set(0.0)  # bg column 0 in the reference
     return jnp.where(valid[..., None], probs, 0.0)
 
 

@@ -123,3 +123,14 @@ def test_voc_evaluator_partial():
     res = ev.evaluate()
     # one TP of two gts, one FP: AP50 = 50 (precision envelope)
     assert 49.0 < res["AP50"] < 51.0
+
+
+def test_schedule_host_mirror_matches_device():
+    """schedule.host (pure-python LR for logging) must equal the traced
+    jnp schedule at every phase: warmup, each milestone factor, end."""
+    from coin_tpu.solver.build import two_stage_lr_schedule
+    s = two_stage_lr_schedule(0.02, [10, 20, 30], [1, 0.1, 0.5, 0.01],
+                              warmup_iters=5, warmup_factor=0.001)
+    for step in [0, 1, 4, 5, 9, 10, 11, 19, 20, 29, 30, 50]:
+        np.testing.assert_allclose(s.host(step), float(s(step)),
+                                   rtol=1e-6, err_msg=str(step))

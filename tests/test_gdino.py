@@ -110,8 +110,10 @@ def test_gdino_forward_and_postprocess(rng):
 
 def test_postprocess_gdino_formulas(rng):
     """Numerical check of the probability construction (gdino.py:162-203):
-    per-class prob = positive-map matmul of sigmoids; bg column = 1-max;
-    renormalized via softmax(log p); boxes cxcywh->xyxy scaled."""
+    per-class prob = positive-map matmul of sigmoids; a ZERO bg column is
+    appended and the row renormalized via softmax(log p) — so bg prob is
+    exactly 0 and fg probs sum to 1 (the reference's torch.zeros column,
+    gdino.py:186-188); boxes cxcywh->xyxy scaled."""
     nq, t = 6, 8
     logits = rng.randn(nq, t).astype(np.float32)
     boxes = rng.uniform(0.2, 0.6, (nq, 4)).astype(np.float32)
@@ -124,20 +126,56 @@ def test_postprocess_gdino_formulas(rng):
     sig = 1.0 / (1.0 + np.exp(-logits))
     fg = sig @ pm.T
     cls = fg.argmax(1)
-    raw = np.concatenate(
-        [np.maximum(fg, 1e-6),
-         np.clip(1.0 - fg.max(1, keepdims=True), 1e-6, 1.0)], axis=1)
-    ref_probs = raw / raw.sum(1, keepdims=True)  # softmax(log p)
+    # torch: cat((p, zeros)) then softmax(log p) => fg renormalized, bg 0
+    ref_fg = fg / fg.sum(1, keepdims=True)
+    ref_probs = np.concatenate([ref_fg, np.zeros((nq, 1), np.float32)],
+                               axis=1)
     got = jax.device_get(det)
-    # rows are re-ordered by validity compaction; compare as sets via
-    # matching classes+probs rows
-    order = np.argsort(~np.asarray(det.valid), kind="stable")
     np.testing.assert_allclose(got.probs, ref_probs, rtol=1e-4,
                                atol=1e-5)
+    assert np.all(got.probs[:, -1] < 1e-6)  # bg column exactly ~0
     np.testing.assert_array_equal(got.classes, cls)
+    # scores = renormalized prob at the argmax class (gdino.py:189)
+    np.testing.assert_allclose(
+        got.scores, ref_fg[np.arange(nq), cls], rtol=1e-4)
     # box scaling: cx*w etc with (h=100, w=200)
     cx, cy, bw, bh = boxes[0]
     np.testing.assert_allclose(
         got.boxes[0],
         [cx * 200 - bw * 200 / 2, cy * 100 - bh * 100 / 2,
          cx * 200 + bw * 200 / 2, cy * 100 + bh * 100 / 2], rtol=1e-4)
+
+
+def test_postprocess_gdino_type_filter(rng):
+    """USE_DINO_TYPE_FILTER mode (gdino.py:193-203): one detection per
+    (query, class) pair above the threshold, scores = renormalized prob
+    at the pair's class."""
+    nq, t = 4, 8
+    logits = rng.randn(nq, t).astype(np.float32) * 2
+    boxes = rng.uniform(0.2, 0.6, (nq, 4)).astype(np.float32)
+    pm = np.zeros((3, t), np.float32)
+    pm[0, 1] = 1.0
+    pm[1, 3:5] = 0.5
+    pm[2, 6] = 1.0
+    thresh = 0.5
+    det = postprocess_gdino(jnp.asarray(logits), jnp.asarray(boxes),
+                            jnp.asarray(pm), jnp.asarray([100.0, 200.0]),
+                            threshold=thresh, capacity=nq * 3,
+                            type_filter=True)
+    sig = 1.0 / (1.0 + np.exp(-logits))
+    fg = sig @ pm.T                       # (nq, 3)
+    ref_fg = fg / fg.sum(1, keepdims=True)
+    got = jax.device_get(det)
+    want = {(q, c) for q in range(nq) for c in range(3)
+            if fg[q, c] > thresh}
+    got_pairs = set()
+    for i in range(len(got.valid)):
+        if got.valid[i]:
+            # recover the query via its prob row (rows are unique per q)
+            q = int(np.argmin(np.abs(ref_fg[:, 0]
+                                     - got.probs[i][0])))
+            got_pairs.add((q, int(got.classes[i])))
+            np.testing.assert_allclose(got.scores[i],
+                                       ref_fg[q, got.classes[i]],
+                                       rtol=1e-4)
+    assert got_pairs == want

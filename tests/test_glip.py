@@ -59,3 +59,23 @@ def test_glip_postprocess(rng):
     got = det.to_numpy()
     assert got["probs"].shape[-1] == c + 1
     assert (got["boxes"][:, 2] <= 64.0).all()
+
+
+def test_synthetic_probs_reference_formula():
+    """glip.py:101-104: probs[i,:-1]=(1-s)/(C-1); probs[i,label]=s;
+    background column stays 0."""
+    import jax.numpy as jnp
+    from coin_tpu.models.gdino_variants import synthetic_probs
+    C = 4
+    classes = jnp.asarray([0, 2, 3])
+    scores = jnp.asarray([0.9, 0.6, 0.5])
+    valid = jnp.asarray([True, True, False])
+    p = np.asarray(synthetic_probs(classes, scores, C, valid))
+    # row 0: label col 0.9, other fg cols (1-0.9)/3, bg 0
+    np.testing.assert_allclose(p[0, 0], 0.9)
+    np.testing.assert_allclose(p[0, 1:4], (1 - 0.9) / 3, rtol=1e-5)
+    assert p[0, 4] == 0.0
+    np.testing.assert_allclose(p[1, 2], 0.6)
+    np.testing.assert_allclose(p[1, [0, 1, 3]], (1 - 0.6) / 3, rtol=1e-5)
+    assert p[1, 4] == 0.0
+    assert (p[2] == 0).all()  # invalid row zeroed
