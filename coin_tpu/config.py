@@ -163,6 +163,10 @@ def default_config() -> CfgNode:
                 "MIN_SIZE_TEST": 600,
                 "MAX_SIZE_TEST": 1333,
                 "NORM": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]],
+                # optional extra collection views ('' | 'ZOOM' | 'AUG' |
+                # 'ZOOM&AUG' — OFF in the paper, gdino_processor.py:189)
+                "COLLECT_AUG": "",
+                "MIN_CENTER_ZOOM_SIZE": 320,
             },
         },
         "DATASETS": {
