@@ -195,11 +195,11 @@ def main():
                          strong, rng_fwd, offline, pcfg)
 
     import dataclasses as _dc
-    # fast recipe (configs/coin/GDINO/foggy_fast.yaml): teacher proposal
-    # budget 512 + student ROI batch 256 + cached step_one — knobs A/B'd
-    # by tools/validate_cached_teacher.py (BENCH.md). The teacher FAST
-    # HEAD is measured here for reference but FAILED its AP A/B
-    # (small-object detail loss) and is NOT part of the recipe.
+    # fast recipe (configs/coin/GDINO/foggy_fast.yaml): cached step_one
+    # (AP-validated) + teacher proposal budget 512 for the live phase.
+    # The teacher FAST HEAD and the ROI-256 student batch are measured
+    # here for documentation but FAILED their AP A/Bs (BENCH.md) and
+    # are NOT part of the recipe.
     pcfg_t512 = _dc.replace(pcfg, pre_nms_topk_test=3000,
                             post_nms_topk_test=512)
     pcfg_fast = _dc.replace(pcfg_t512, fast_head=True)
@@ -227,7 +227,7 @@ def main():
         return live_step
 
     adaptation_step_fast = make_live_step(pcfg_fast, pcfg)
-    adaptation_step_t512_r256 = make_live_step(pcfg_t512, pcfg_r256)
+    adaptation_step_t512 = make_live_step(pcfg_t512, pcfg)
 
     def make_cached_step(student_pcfg):
         @jax.jit
@@ -275,7 +275,7 @@ def main():
     cached = measure(cached_step, (offline_sets,))
     live_fast = measure(adaptation_step_fast, ())
     cached_r256 = measure(cached_step_r256, (offline_sets,))
-    live_t512_r256 = measure(adaptation_step_t512_r256, ())
+    live_t512 = measure(adaptation_step_t512, ())
 
     # schedule-weighted production rate: step_one runs cached (teacher
     # frozen pre-burn-up), step_two runs live
@@ -288,9 +288,10 @@ def main():
     # exact head), cached step_one (AP-equivalence validated —
     # tools/validate_cached_teacher.py, BENCH.md)
     weighted_parity = sched(cached, live)
-    # fast recipe (foggy_fast.yaml): cached step_one at ROI 256 +
-    # exact-head live step_two at teacher budget 512 / ROI 256
-    weighted_fast = sched(cached_r256, live_t512_r256)
+    # fast recipe (foggy_fast.yaml): cached step_one + exact-head live
+    # step_two at teacher budget 512 (reference ROI batch 512 kept —
+    # the ROI-256 cut failed its AP A/B)
+    weighted_fast = sched(cached, live_t512)
     print(json.dumps({
         "metric": "adaptation_images_per_sec_per_chip",
         "value": round(weighted_fast, 3),
@@ -303,7 +304,7 @@ def main():
         "cached_teacher_step": round(cached, 3),
         "live_fast_head_step": round(live_fast, 3),
         "cached_roi256_step": round(cached_r256, 3),
-        "live_t512_roi256_step": round(live_t512_r256, 3),
+        "live_t512_step": round(live_t512, 3),
         "schedule": f"{BURN_UP // 1000}k cached + "
                     f"{(MAX_ITER - BURN_UP) // 1000}k live (foggy)",
     }))
