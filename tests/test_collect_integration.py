@@ -116,3 +116,24 @@ def test_cloud_live_eval_trainer(tmp_path_factory):
     assert isinstance(tr, CloudLiveEvalTrainer)
     res = tr.test()
     assert "AP50" in res and np.isfinite(res["AP50"])
+
+
+def test_eval_trainer_dispatch_store_vs_live(tmp_path):
+    """build_eval_trainer: a present COLLECT_FILE store → StoreEvalTrainer;
+    absent → CloudLiveEvalTrainer (one-shot live val eval)."""
+    from coin_tpu.config import load_config
+    from coin_tpu.engine.results_store import ResultStore
+    from coin_tpu.engine.test import (CloudLiveEvalTrainer,
+                                      StoreEvalTrainer, build_eval_trainer)
+
+    cfg = load_config()
+    cfg.CLOUD.COLLECT_FILE = ""
+    assert isinstance(build_eval_trainer(cfg, "GLIP_test"),
+                      CloudLiveEvalTrainer)
+
+    store = ResultStore(num_classes=2)
+    path = str(tmp_path / "collect.npz")
+    store.save(path)
+    cfg.CLOUD.COLLECT_FILE = path
+    assert isinstance(build_eval_trainer(cfg, "GDINO_test"),
+                      StoreEvalTrainer)
