@@ -85,7 +85,8 @@ class MetricLogger:
         self.max_iter = max_iter
         self._window = defaultdict(list)
         self._t0 = time.perf_counter()
-        self._last_step = None
+        self._last_step = None    # last FLUSHED step (iter-time base)
+        self._last_logged = None  # last step passed to log()
         self._tb = None
         if tensorboard:
             try:
@@ -104,6 +105,7 @@ class MetricLogger:
         """
         for k, v in metrics.items():
             self._window[k].append(v)
+        self._last_logged = step
         if step % self.period != 0:
             return
         window = jax.device_get(dict(self._window))
@@ -132,7 +134,11 @@ class MetricLogger:
         if self._window:
             window = jax.device_get(dict(self._window))
             means = {k: float(np.mean(v)) for k, v in window.items()}
-            step = (self._last_step if self._last_step is not None else 0)
+            # stamp the residual flush with the step actually logged
+            # last, not the previous flush boundary (which would both
+            # mislabel the tail and duplicate an iteration key)
+            step = (self._last_logged if self._last_logged is not None
+                    else 0)
             with open(self.path, "a") as f:
                 f.write(json.dumps({"iteration": step, **means}) + "\n")
             self._window.clear()

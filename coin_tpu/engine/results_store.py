@@ -13,10 +13,13 @@ Multi-host: each process collects its shard and ``merge`` unions the dicts
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, Iterable, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class ResultStore:
@@ -29,6 +32,8 @@ class ResultStore:
     def __init__(self, num_classes: int):
         self.num_classes = num_classes
         self._data: Dict[str, Dict[str, np.ndarray]] = {}
+        self._overflow = 0        # images whose pack_view overflowed
+        self._overflow_boxes = 0  # total boxes dropped by the cap
 
     def __contains__(self, image_id: str) -> bool:
         return image_id in self._data
@@ -73,6 +78,21 @@ class ResultStore:
             flipped[:, 0] = canvas_w - boxes[:, 2]
             flipped[:, 2] = canvas_w - boxes[:, 0]
             boxes = flipped
+        if len(boxes) > capacity:
+            # stores carry no ordering guarantee — sort by score so the
+            # cap keeps the highest-confidence pseudo-labels, and count
+            # the overflow instead of truncating silently
+            order = np.argsort(-scores, kind="stable")
+            boxes, classes = boxes[order], classes[order]
+            scores, probs = scores[order], probs[order]
+            self._overflow += 1
+            self._overflow_boxes += len(boxes) - capacity
+            if self._overflow in (1, 100, 10000):
+                logger.warning(
+                    "pack_view cap %d dropped %d lowest-score boxes for "
+                    "%r (%d overflowing images, %d boxes dropped so far)",
+                    capacity, len(boxes) - capacity, image_id,
+                    self._overflow, self._overflow_boxes)
         n = min(len(boxes), capacity)
         out = {
             "boxes": np.zeros((capacity, 4), np.float32),

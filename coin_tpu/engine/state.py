@@ -63,6 +63,19 @@ def default_freeze_predicate(update_backbone: bool = True
     return pred
 
 
+def _is_relay_backend() -> bool:
+    """True when the TPU is reached through a remote-compile relay (the
+    'axon' transport) rather than direct-attached. The relay rejects the
+    first execution of donated train-step executables (BENCH.md,
+    tools/probe_donation.py), so donation must default off there — but
+    only there."""
+    try:
+        from jax._src import xla_bridge
+        return "axon" in xla_bridge.get_backend().platform_version.lower()
+    except Exception:
+        return False
+
+
 def jit_train_step(fn, donate_default: bool = True):
     """jit a `(state, *batch) -> (state, aux)` train step, donating the
     TrainState on accelerator backends. Donation lets XLA alias the
@@ -74,20 +87,21 @@ def jit_train_step(fn, donate_default: bool = True):
     - CPU backend: the virtual multi-device mesh crashes when donated
       buffers alias across a collective rendezvous (see BENCH.md) —
       always plain jit.
-    - Remote-TPU relays: donation defaults OFF. Root-caused in round 2
+    - Remote-TPU relays (detected via the 'axon' platform string):
+      donation defaults OFF. Root-caused in round 2
       (tools/probe_donation.py + A/B evidence): the relay rejects the
       FIRST EXECUTION of any donated train step with an opaque
       INVALID_ARGUMENT — the identical step runs with donation
       disabled, so it is a relay/transport limitation, not an aliasing
-      bug in the step. Round 1 saw this only on the dual-teacher step;
-      the relay now rejects the pretrain step too (environment
-      changed). ``COIN_TPU_DONATE=1`` re-enables on direct-attached
-      TPUs, where donation halves TrainState HBM double-buffering.
+      bug in the step. Direct-attached TPUs keep donation on by
+      default. ``COIN_TPU_DONATE=1`` / ``=0`` force either way.
     """
     import os
     env = os.environ.get("COIN_TPU_DONATE", "")
-    donate = env == "1" if env else False
-    del donate_default  # kept for call-site compatibility
+    if env:
+        donate = env == "1"
+    else:
+        donate = donate_default and not _is_relay_backend()
     if jax.default_backend() == "cpu" or not donate:
         return jax.jit(fn)
     return jax.jit(fn, donate_argnums=(0,))

@@ -92,9 +92,11 @@ class CloudLiveEvalTrainer:
         # reference's GDINOMapper resize)
         tc = cfg.INPUT.TEACHER_CLOUD
         loader = TestLoader(
-            name, cfg.DATASETS.ROOT, batch_size=4,
+            name, cfg.DATASETS.ROOT,
+            batch_size=cfg.get_path("TEST.IMS_PER_BATCH", 4),
             min_size=tc.MIN_SIZE_TEST,
-            max_size=tc.MAX_SIZE_TEST if "MAX_SIZE_TEST" in tc else 1333)
+            max_size=cfg.get_path("INPUT.TEACHER_CLOUD.MAX_SIZE_TEST",
+                                  cfg.INPUT.MAX_SIZE))
         if cfg.get_path("TPU.SYNTHETIC_TEACHER", False):
             detector = build_synthetic_detector(spec.class_names)
         else:

@@ -118,7 +118,10 @@ def postprocess_gdino(logits: jnp.ndarray, boxes: jnp.ndarray,
                 jnp.arange(nq * c), classes],
             classes=classes, valid=keep,
             probs=jnp.take(probs, rows, axis=0))
-        order = jnp.argsort(~det.valid, stable=True)[:capacity]
+        # score-descending among valid pairs so a sub-capacity cut keeps
+        # the highest-confidence detections (invalid rows sort last)
+        order = jnp.argsort(
+            jnp.where(det.valid, -det.scores, jnp.inf))[:capacity]
         return det.gather(order, jnp.take(det.valid, order))
 
     # default: one detection per query at its max class, filtered on the
@@ -130,7 +133,8 @@ def postprocess_gdino(logits: jnp.ndarray, boxes: jnp.ndarray,
     det = Detections(boxes=xyxy, scores=scores, classes=classes,
                      valid=keep, probs=probs)
     if capacity != nq:
-        order = jnp.argsort(~det.valid, stable=True)[:capacity]
+        order = jnp.argsort(
+            jnp.where(det.valid, -det.scores, jnp.inf))[:capacity]
         det = det.gather(order, jnp.take(det.valid, order))
     return det
 

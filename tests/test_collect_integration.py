@@ -137,3 +137,35 @@ def test_eval_trainer_dispatch_store_vs_live(tmp_path):
     cfg.CLOUD.COLLECT_FILE = path
     assert isinstance(build_eval_trainer(cfg, "GDINO_test"),
                       StoreEvalTrainer)
+
+
+def test_pack_view_cap_keeps_top_scores_and_counts_overflow():
+    """A crowded image overflowing the capacity must keep the
+    HIGHEST-score boxes (stores carry no ordering guarantee) and count
+    the overflow instead of truncating silently (VERDICT r2 item 8)."""
+    import numpy as np
+    from coin_tpu.engine.results_store import ResultStore
+
+    store = ResultStore(num_classes=2)
+    n, cap = 12, 4
+    rng = np.random.RandomState(0)
+    boxes = rng.uniform(0, 50, (n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + 10
+    scores = rng.permutation(n).astype(np.float32) / n  # shuffled ranks
+    classes = np.arange(n, dtype=np.int32) % 2
+    probs = np.tile(scores[:, None], (1, 3)).astype(np.float32)
+    store.put("img0", "RCNN", boxes, classes, scores, probs)
+
+    out = store.pack_view("img0", "RCNN", cap, scale=1.0, flip=False,
+                          canvas_w=100.0)
+    assert out["valid"].all()
+    top = np.sort(scores)[-cap:]
+    assert np.allclose(np.sort(out["scores"]), top)
+    assert store._overflow == 1
+    assert store._overflow_boxes == n - cap
+
+    # under-capacity images don't count as overflow
+    store.put("img1", "RCNN", boxes[:2], classes[:2], scores[:2],
+              probs[:2])
+    store.pack_view("img1", "RCNN", cap, 1.0, False, 100.0)
+    assert store._overflow == 1
