@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: FULL adaptation throughput (images/sec/chip).
 
-Measures BOTH flavors of the CoinTrainer jitted step at the reference's
-production shapes (Foggy-Cityscapes: batch 3, 600-short-side canvas,
-8 classes; foggy.yaml:15):
+Measures the PRODUCTION CoinTrainer jitted step — built by the same
+``coin_tpu.engine.step_builder.build_adaptation_steps`` the trainer and
+``__graft_entry__.dryrun_multichip`` use, so this benchmark times the
+step that trains, not a reconstruction — at the reference's production
+shapes (Foggy-Cityscapes: batch 3, 600-short-side canvas, 8 classes;
+foggy.yaml:15):
 
 - **live** — EMA teacher update, teacher forward + NMS on the weak
   view, dual-teacher A/B/C matching, student forward/backward with the
@@ -22,9 +25,10 @@ same JSON line.
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline: the reference publishes no throughput; BASELINE.json's north
-star is ≥5× its PyTorch adaptation step per chip. REF_IMAGES_PER_SEC
-estimates the reference on its published hardware (1× RTX 3090: teacher
-forward + student double-backward at batch 3 ≈ 2.5 it/s ≈ 7.5 img/s).
+star is >=5x its PyTorch adaptation step per chip. REF_IMAGES_PER_SEC
+is a roofline-derived estimate of the reference on its published
+hardware (1x RTX 3090) — full arithmetic in BENCH.md "Grounding the
+baseline".
 """
 
 from __future__ import annotations
@@ -33,11 +37,23 @@ import json
 import os
 import time
 
+# Derived in BENCH.md ("Grounding the baseline"): ~6.9 TFLOP/img of
+# conv+matmul work per adaptation step (measured on our own step, which
+# runs the same towers at the same shapes), RTX 3090 fp16+fp32-accum
+# tensor-core peak 71 TFLOP/s, detectron2-style eager torch achievable
+# utilization 25-35% on conv-heavy detection (non-fused eager kernels,
+# per-image Python pre/post) => 17.8-24.9 TFLOP/s => 2.6-3.6 img/s
+# compute-bound, further capped by the reference's per-image CPU
+# matching + preprocess. 7.5 img/s (2.5 it/s at batch 3) remains the
+# CONSERVATIVE upper bound we divide by; the roofline midpoint would
+# roughly double every "x" below.
 REF_IMAGES_PER_SEC = 7.5
 BURN_UP, MAX_ITER = 45000, 65000  # foggy.yaml schedule
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,19 +65,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    from coin_tpu.engine import coin_pipelines, pipelines
+    from coin_tpu.engine import pipelines
     from coin_tpu.engine.common import simple_class_tokens
-    from coin_tpu.engine.matching import match_dual_teacher_single
-    from coin_tpu.engine.state import (Prototypes, default_freeze_predicate,
+    from coin_tpu.engine.state import (Prototypes, TrainState,
+                                       default_freeze_predicate,
                                        merge_params, partition_params)
+    from coin_tpu.engine.step_builder import (StepHyper,
+                                              build_adaptation_steps)
     from coin_tpu.models.ckg import CKGNet
     from coin_tpu.models.detector import OpenVocabularyRCNN
-    from coin_tpu.structures import Detections, truncate
+    from coin_tpu.structures import Detections
 
     num_classes = 8
-    # COIN_BENCH_BATCH: informational batch-scaling runs (TPUs amortize
-    # fixed step cost over larger per-chip batches; the reference's
-    # batch 3 is a GPU-memory artifact). Default 3 = headline parity.
+    # COIN_BENCH_BATCH: batch-scaling runs (TPUs amortize fixed step
+    # cost over larger per-chip batches; the reference's batch 3 is a
+    # GPU-memory artifact). Default 3 = reference-shape parity.
     b = int(os.environ.get("COIN_BENCH_BATCH", "3"))
     h, w = 608, 1216
     cap = 128
@@ -118,167 +136,85 @@ def main():
 
     tx = optax.sgd(1e-3, momentum=0.9)
     merge_tx = optax.sgd(1e-3, momentum=0.9)
-    opt_state = tx.init(params)
-    merge_opt_state = merge_tx.init(merge_vars["params"])
-    teacher = jax.tree.map(jnp.copy, params)
 
-    from coin_tpu.data.augment import preprocess_batch
+    def fresh_state():
+        return TrainState(
+            params=params, frozen=frozen, opt_state=tx.init(params),
+            step=jnp.asarray(0), rng=jax.random.key(2),
+            prototypes=protos,
+            teacher_params=jax.tree.map(jnp.copy, params),
+            merge_params=merge_vars["params"],
+            merge_opt_state=merge_tx.init(merge_vars["params"]))
 
-    def step_tail(params, frozen, teacher, merge_p, opt_state,
-                  merge_opt_state, protos, rng, step, step_two, strong,
-                  rng_fwd, offline, pcfg):
-        """Matching + student update + CKG merge update + prototype EMA
-        (shared by all step flavors); ``pcfg`` sets the student shapes
-        (ROI batch)."""
-        box_a_w = jnp.where(step_two, 0.5, 1.0)
-        matched_rcnn = jax.vmap(lambda o, f: match_dual_teacher_single(
-            o, f, 0.5, box_a_w, with_b=True))(online_rcnn, offline)
-        matched_rpn = jax.vmap(lambda o, f: match_dual_teacher_single(
-            o, f, 0.5, box_a_w, with_b=False))(online_rpn, offline)
-        matched_rcnn = matched_rcnn._replace(
-            c=truncate(matched_rcnn.c, 64))
-        matched_rpn = matched_rpn._replace(
-            c=truncate(matched_rpn.c, 64))
+    # production hyper at foggy semantics; burn_up=10 so the live
+    # measurement runs the step_two branch values after warmup (the
+    # compiled program — and hence the timing — is identical either way)
+    hyper = StepHyper(burn_up=10, proto_start=0)
 
-        def merge_probs_fn(feats_b, p_off, p_on):
-            return merge_model.apply({"params": merge_p}, feats_b,
-                                     protos.b_offline, protos.b_online,
-                                     p_off, p_on)
-
-        def loss_fn(p):
-            fw = coin_pipelines.student_forward(
-                model, merge_params(p, frozen), strong, image_hw,
-                matched_rcnn, matched_rpn, tokens, rng_fwd, pcfg,
-                step_two, protos.proto, merge_probs_fn, 0.7)
-            return sum(fw.losses.values()), fw
-
-        (loss, fw), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-
-        student_vars = merge_params(params, frozen)
-        text = model.apply(student_vars, tokens, method="text_features")
-
-        def merge_loss_fn(mp):
-            ml = coin_pipelines.merge_losses(
-                merge_model, mp, student_vars, model, fw, protos,
-                num_classes, text)
-            return ml["loss_merge_grad"] + ml["loss_merge_base"], ml
-
-        (_, _), mgrads = jax.value_and_grad(merge_loss_fn, has_aux=True)(
-            merge_p)
-        mupdates, merge_opt_state = merge_tx.update(
-            mgrads, merge_opt_state, merge_p)
-        merge_p = optax.apply_updates(merge_p, mupdates)
-
-        protos = coin_pipelines.update_prototypes(
-            protos, fw, num_classes, 0.9996, jnp.asarray(True))
-        return (new_params, teacher, merge_p, opt_state, merge_opt_state,
-                protos, rng, step + 1, loss)
-
-    @jax.jit
-    def adaptation_step(params, frozen, teacher, merge_p, opt_state,
-                        merge_opt_state, protos, rng, step):
-        step_two = step >= 10
-        rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
-        strong, weak = preprocess_batch(images_u8, flip, rng_aug)
-
-        do_ema = step_two
-        teacher = jax.tree.map(
-            lambda t, s: jnp.where(do_ema, t * 0.9996 + s * 0.0004, t),
-            teacher, params)
-
-        teacher_vars = merge_params(teacher, frozen)
-        offline = pipelines.inference(model, teacher_vars, weak, image_hw,
-                                      tokens, pcfg)
-        offline = jax.lax.stop_gradient(offline)
-        return step_tail(params, frozen, teacher, merge_p, opt_state,
-                         merge_opt_state, protos, rng, step, step_two,
-                         strong, rng_fwd, offline, pcfg)
-
-    import dataclasses as _dc
     # fast recipe (configs/coin/GDINO/foggy_fast.yaml): cached step_one
     # (AP-validated) + teacher proposal budget 512 for the live phase.
     # The teacher FAST HEAD and the ROI-256 student batch are measured
     # here for documentation but FAILED their AP A/Bs (BENCH.md) and
     # are NOT part of the recipe.
-    pcfg_t512 = _dc.replace(pcfg, pre_nms_topk_test=3000,
-                            post_nms_topk_test=512)
-    pcfg_fast = _dc.replace(pcfg_t512, fast_head=True)
-    pcfg_r256 = _dc.replace(pcfg, roi_batch_size=256)
+    pcfg_t512 = dataclasses.replace(pcfg, pre_nms_topk_test=3000,
+                                    post_nms_topk_test=512)
+    pcfg_fast = dataclasses.replace(pcfg_t512, fast_head=True)
+    pcfg_r256 = dataclasses.replace(pcfg, roi_batch_size=256)
 
-    def make_live_step(teacher_pcfg, student_pcfg):
-        @jax.jit
-        def live_step(params, frozen, teacher, merge_p, opt_state,
-                      merge_opt_state, protos, rng, step):
-            step_two = step >= 10
-            rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
-            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
-            teacher_t = jax.tree.map(
-                lambda t, s: jnp.where(step_two,
-                                       t * 0.9996 + s * 0.0004, t),
-                teacher, params)
-            teacher_vars = merge_params(teacher_t, frozen)
-            offline = pipelines.inference(model, teacher_vars, weak,
-                                          image_hw, tokens, teacher_pcfg)
-            offline = jax.lax.stop_gradient(offline)
-            return step_tail(params, frozen, teacher_t, merge_p,
-                             opt_state, merge_opt_state, protos, rng,
-                             step, step_two, strong, rng_fwd, offline,
-                             student_pcfg)
-        return live_step
+    def build(student_pcfg, teacher_pcfg):
+        return build_adaptation_steps(model, merge_model, tx, merge_tx,
+                                      tokens, student_pcfg, teacher_pcfg,
+                                      hyper)
 
-    adaptation_step_fast = make_live_step(pcfg_fast, pcfg)
-    adaptation_step_t512 = make_live_step(pcfg_t512, pcfg)
+    live_parity, cached_parity = build(pcfg, pcfg)
+    live_t512, _ = build(pcfg, pcfg_t512)
+    live_fasthead, _ = build(pcfg, pcfg_fast)
+    _, cached_r256 = build(pcfg_r256, pcfg)
 
-    def make_cached_step(student_pcfg):
-        @jax.jit
-        def cached_step(params, frozen, teacher, merge_p, opt_state,
-                        merge_opt_state, protos, rng, step, offline_dets):
-            step_two = step >= 10
-            rng, rng_aug, rng_fwd = jax.random.split(rng, 3)
-            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
-            offline = offline_dets  # cached teacher: no teacher tower
-            return step_tail(params, frozen, teacher, merge_p, opt_state,
-                             merge_opt_state, protos, rng, step, step_two,
-                             strong, rng_fwd, offline, student_pcfg)
-        return cached_step
+    variants = {
+        "live": (live_parity, ()),
+        "cached": (cached_parity, (offline_sets,)),
+        "live_fast": (live_fasthead, ()),
+        "cached_r256": (cached_r256, (offline_sets,)),
+        "live_t512": (live_t512, ()),
+    }
 
-    cached_step = make_cached_step(pcfg)
-    cached_step_r256 = make_cached_step(pcfg_r256)
-
-    def measure(step_fn, extra, iters=10):
+    def run_block(step_fn, extra, state, iters):
         """Per-iteration device sync. A single block_until_ready on the
         tail of an async chain is NOT reliable through the remote-TPU
         relay (observed: a 10-step chain 'completing' in 24 ms), so each
         step is synced; the dispatch bubble makes this a conservative
         number."""
-        st = [params, teacher, merge_vars["params"], opt_state,
-              merge_opt_state, protos, jax.random.key(2), jnp.asarray(0)]
-
-        def call(s):
-            out = step_fn(s[0], frozen, s[1], s[2], s[3], s[4], s[5],
-                          s[6], s[7], *extra)
-            return list(out[:8]), out[8]
-
-        st, loss = call(st)
-        jax.block_until_ready(loss)
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            st, loss = call(st)
-            jax.block_until_ready(loss)
+            state, losses = step_fn(state, images_u8, image_hw, flip,
+                                    online_rcnn, online_rpn, *extra)
+            jax.block_until_ready(losses)
             times.append(time.perf_counter() - t0)
-        dt = min(times)  # best-of: strips stragglers/relay jitter
-        assert dt > 0.005, f"implausible step time {dt*1e3:.1f} ms"
-        return b / dt
+        return state, min(times)
 
-    live = measure(adaptation_step, ())
-    cached = measure(cached_step, (offline_sets,))
-    live_fast = measure(adaptation_step_fast, ())
-    cached_r256 = measure(cached_step_r256, (offline_sets,))
-    live_t512 = measure(adaptation_step_t512, ())
+    # INTERLEAVED rounds: the relay has multi-minute degraded windows
+    # that would otherwise poison whichever variant happens to measure
+    # inside one (observed both orders in round 3); min over rounds
+    # separated in time escapes a single bad window.
+    states, best = {}, {}
+    for name, (fn, extra) in variants.items():
+        st = fresh_state()
+        st, _ = run_block(fn, extra, st, 1)   # compile/warm
+        states[name] = st
+    for _ in range(3):
+        for name, (fn, extra) in variants.items():
+            states[name], dt = run_block(fn, extra, states[name], 5)
+            best[name] = min(best.get(name, float("inf")), dt)
+    for name, dt in best.items():
+        assert dt > 0.005, f"{name}: implausible step time {dt*1e3:.1f} ms"
+
+    live = b / best["live"]
+    cached = b / best["cached"]
+    live_fast = b / best["live_fast"]
+    cached_r256_rate = b / best["cached_r256"]
+    live_t512_rate = b / best["live_t512"]
 
     # schedule-weighted production rate: step_one runs cached (teacher
     # frozen pre-burn-up), step_two runs live
@@ -294,7 +230,7 @@ def main():
     # fast recipe (foggy_fast.yaml): cached step_one + exact-head live
     # step_two at teacher budget 512 (reference ROI batch 512 kept —
     # the ROI-256 cut failed its AP A/B)
-    weighted_fast = sched(cached, live_t512)
+    weighted_fast = sched(cached, live_t512_rate)
     print(json.dumps({
         "metric": "adaptation_images_per_sec_per_chip",
         "value": round(weighted_fast, 3),
@@ -303,11 +239,12 @@ def main():
         "parity_recipe": round(weighted_parity, 3),
         "parity_vs_baseline": round(weighted_parity / REF_IMAGES_PER_SEC,
                                     3),
+        "batch": b,
         "live_step": round(live, 3),
         "cached_teacher_step": round(cached, 3),
         "live_fast_head_step": round(live_fast, 3),
-        "cached_roi256_step": round(cached_r256, 3),
-        "live_t512_step": round(live_t512, 3),
+        "cached_roi256_step": round(cached_r256_rate, 3),
+        "live_t512_step": round(live_t512_rate, 3),
         "schedule": f"{BURN_UP // 1000}k cached + "
                     f"{(MAX_ITER - BURN_UP) // 1000}k live (foggy)",
     }))

@@ -14,27 +14,22 @@ compiled step (trainer.py:149-218).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from typing import Dict, Optional
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from coin_tpu.data.augment import preprocess_batch
 from coin_tpu.data.loader import TrainLoader
-from coin_tpu.engine import coin_pipelines, pipelines
+from coin_tpu.engine import pipelines
 from coin_tpu.engine.base import DetectorTrainerBase
 from coin_tpu.engine.common import lr_value
-from coin_tpu.engine.matching import match_dual_teacher_single
 from coin_tpu.engine.pre_train import online_view_to_detections
 from coin_tpu.engine.results_store import ResultStore
-from coin_tpu.engine.state import (Prototypes, TrainState, ema_update,
-                                   jit_train_step, merge_params)
+from coin_tpu.engine.state import Prototypes, TrainState, merge_params
 from coin_tpu.models.ckg import CKGNet
 from coin_tpu.solver import build_optimizer
 
@@ -88,8 +83,7 @@ class CoinTrainer(DetectorTrainerBase):
         # alongside the student's sampled 512. TPU.TEACHER_POST_NMS_TOPK
         # (default = reference parity 1000) trades pseudo-label recall
         # for throughput; 512 measured +12.6% step rate (BENCH.md).
-        import dataclasses as _dc
-        self.teacher_pcfg = _dc.replace(
+        self.teacher_pcfg = dataclasses.replace(
             self.pcfg,
             pre_nms_topk_test=cfg.get_path(
                 "TPU.TEACHER_PRE_NMS_TOPK", self.pcfg.pre_nms_topk_test),
@@ -121,152 +115,17 @@ class CoinTrainer(DetectorTrainerBase):
 
     # ------------------------------------------------------------- #
     def _build_train_step(self):
-        cfg = self.cfg
-        model, pcfg = self.model, self.pcfg
-        merge_model, merge_tx, tx = self.merge_model, self.merge_tx, self.tx
-        tokens = jnp.asarray(self.class_tokens)
-        burn_up = cfg.CLOUD.BURN_UP_STEP
-        ema_rate = cfg.CLOUD.EMA_KEEP_RATE_OFFLINE
-        ema_every = cfg.CLOUD.OFFLINE_TEACHER_UPDATE_ITER
-        proto_rate = cfg.CLOUD.PROTOTYPE_UPDATE_WEIGHT
-        proto_start = cfg.CLOUD.PROTOTYPE_UPDATE_START
-        match_thr = cfg.CLOUD.MATCHER.IOU_THRESHOLDS
-        cls_b_thresh = cfg.CLOUD.CLS_B_THRESH
-        weights = self.loss_weights
-
-        def step_body(state, strong, image_hw, online_rcnn, online_rpn,
-                      offline, teacher, rng, rng_fwd, step, step_two):
-            # ---- dual-teacher matching (A/B/C) ----
-            box_a_w = jnp.where(step_two, 0.5, 1.0)
-            matched_rcnn = jax.vmap(
-                lambda o, f: match_dual_teacher_single(
-                    o, f, match_thr, box_a_w, with_b=True)
-            )(online_rcnn, offline)
-            matched_rpn = jax.vmap(
-                lambda o, f: match_dual_teacher_single(
-                    o, f, match_thr, box_a_w, with_b=False)
-            )(online_rpn, offline)
-
-            # bound the private-set capacity before the per-box C forward
-            # (real C counts are tens; padded capacity is No+Nf)
-            from coin_tpu.structures import truncate
-            cap_c = cfg.get_path("TPU.CAP_C", 64)
-            matched_rcnn = matched_rcnn._replace(
-                c=truncate(matched_rcnn.c, cap_c))
-            matched_rpn = matched_rpn._replace(
-                c=truncate(matched_rpn.c, cap_c))
-
-            update_prototype = ((proto_start != -1)
-                                & (step >= proto_start))
-
-            def merge_probs_fn(feats_b, p_off, p_on):
-                return merge_model.apply(
-                    {"params": state.merge_params}, feats_b,
-                    state.prototypes.b_offline,
-                    state.prototypes.b_online, p_off, p_on)
-
-            # ---- student forward + losses ----
-            def loss_fn(params):
-                variables = merge_params(params, state.frozen)
-                fw = coin_pipelines.student_forward(
-                    model, variables, strong, image_hw, matched_rcnn,
-                    matched_rpn, tokens, rng_fwd, pcfg, step_two,
-                    state.prototypes.proto, merge_probs_fn, cls_b_thresh)
-                losses = coin_pipelines.apply_loss_weights(fw.losses,
-                                                           weights)
-                return sum(losses.values()), (losses, fw)
-
-            (_, (losses, fw)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-
-            # ---- CKG merge training (trainer.py:192-197) ----
-            student_vars = merge_params(state.params, state.frozen)
-            text = model.apply(student_vars, tokens,
-                               method="text_features")
-
-            def merge_loss_fn(mp):
-                ml = coin_pipelines.merge_losses(
-                    merge_model, mp, student_vars, model, fw,
-                    state.prototypes, pcfg.num_classes, text)
-                return ml["loss_merge_grad"] + ml["loss_merge_base"], ml
-
-            (_, mlosses), mgrads = jax.value_and_grad(
-                merge_loss_fn, has_aux=True)(state.merge_params)
-            any_b = jnp.any(fw.sp.group == 1)
-            train_merge = any_b & update_prototype
-            mgrads = jax.tree.map(
-                lambda g: jnp.where(train_merge, g, 0.0), mgrads)
-            mupdates, merge_opt_state = merge_tx.update(
-                mgrads, state.merge_opt_state, state.merge_params)
-            merge_p = optax.apply_updates(state.merge_params, mupdates)
-
-            # ---- prototype EMA updates ----
-            protos = coin_pipelines.update_prototypes(
-                state.prototypes, fw, pcfg.num_classes, proto_rate,
-                update_prototype)
-
-            losses = dict(losses)
-            losses.update(mlosses)
-            new_state = state.replace(
-                params=params, opt_state=opt_state, step=step + 1,
-                rng=rng, prototypes=protos, teacher_params=teacher,
-                merge_params=merge_p, merge_opt_state=merge_opt_state)
-            return new_state, losses
-
-        # donate_default=False: the remote-TPU relay rejects this
-        # executable's donation pattern (engine/state.jit_train_step);
-        # COIN_TPU_DONATE=1 re-enables on direct-attached chips
-        @partial(jit_train_step, donate_default=False)
-        def train_step(state: TrainState, images_u8, image_hw, flip,
-                       online_rcnn, online_rpn):
-            step = state.step
-            step_two = step >= burn_up
-            rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
-            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
-
-            # ---- EMA teacher update (trainer.py:169-172) ----
-            do_ema = step_two & ((step - burn_up) % ema_every == 0)
-            teacher = jax.tree.map(
-                lambda t, s: jnp.where(
-                    do_ema, t * ema_rate + s * (1.0 - ema_rate), t),
-                state.teacher_params, state.params)
-
-            # ---- offline teacher forward on the weak view ----
-            teacher_vars = merge_params(teacher, state.frozen)
-            offline = pipelines.inference(model, teacher_vars, weak,
-                                          image_hw, tokens,
-                                          self.teacher_pcfg)
-            offline = jax.lax.stop_gradient(offline)
-            return step_body(state, strong, image_hw, online_rcnn,
-                             online_rpn, offline, teacher, rng, rng_fwd,
-                             step, step_two)
-
-        @partial(jit_train_step, donate_default=False)
-        def train_step_cached(state: TrainState, images_u8, image_hw,
-                              flip, online_rcnn, online_rpn, offline):
-            """step_one with the teacher's per-image predictions served
-            from a one-time collection cache — valid because the teacher
-            is FROZEN until burn-up (trainer.py:169-172), so recomputing
-            its forward every step (as the reference does) is redundant.
-
-            Note: the cache is collected on the unflipped canvas and
-            re-projected per batch (like the cloud store); on flipped
-            samples this equals the live path up to the detector's flip
-            equivariance — an augmentation-level approximation, not a
-            bitwise one. Disable via TPU.CACHE_TEACHER for exact
-            reference stepping.
-            """
-            step = state.step
-            rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
-            strong, _ = preprocess_batch(images_u8, flip, rng_aug)
-            return step_body(state, strong, image_hw, online_rcnn,
-                             online_rpn, offline, state.teacher_params,
-                             rng, rng_fwd, step, jnp.asarray(False))
-
-        return train_step, train_step_cached
+        """All step wiring lives in engine/step_builder.py — the SAME
+        builder bench.py and __graft_entry__.dryrun_multichip call, so
+        the benchmark and the driver's multi-chip artifact measure the
+        production step itself."""
+        from coin_tpu.engine.step_builder import (build_adaptation_steps,
+                                                  hyper_from_cfg)
+        hyper = dataclasses.replace(hyper_from_cfg(self.cfg),
+                                    loss_weights=self.loss_weights)
+        return build_adaptation_steps(
+            self.model, self.merge_model, self.tx, self.merge_tx,
+            self.class_tokens, self.pcfg, self.teacher_pcfg, hyper)
 
     # ------------------------------------------------------------- #
     def collect_teacher_store(self):
@@ -411,10 +270,15 @@ class CoinTrainer(DetectorTrainerBase):
             as_jnp = lambda t: jax.tree.map(jnp.asarray, t)
             params = as_jnp(raw["params"])
             pr = raw["prototypes"]
-            self.state = self.state.replace(
+            # re-replicate the restored leaves onto the data mesh: the
+            # raw tree is host-local/uncommitted, and in multi-process DP
+            # the next jitted step needs every leaf addressable on every
+            # mesh device (single-process DP only worked via implicit
+            # resharding)
+            self.state = self.replicate_state(self.state.replace(
                 params=params, frozen=as_jnp(raw["frozen"]),
                 prototypes=Prototypes(jnp.asarray(pr["proto"]),
                                       jnp.asarray(pr["b_online"]),
                                       jnp.asarray(pr["b_offline"])),
-                teacher_params=jax.tree.map(jnp.copy, params))
+                teacher_params=jax.tree.map(jnp.copy, params)))
             logger.info("loaded CLIPDET pretrain weights from %s", pre)
