@@ -89,10 +89,16 @@ def build_cloud_detector(cfg, arch, class_names):
         sd = torch.load(weight, map_location="cpu")
         sd = sd.get("model", sd)
         variant = cfg.MODEL.TEACHER_CLOUD.TYPE
-        model = GroundingDINO(variant=variant,
-                              dtype=jnp.bfloat16)
+        # layer-count knobs: full official geometry by default; the
+        # verify_assets CI drill uses reduced towers to keep the
+        # one-command real-asset rehearsal fast on CPU
+        enc = cfg.get_path("TPU.GDINO_ENC_LAYERS", 6)
+        dec = cfg.get_path("TPU.GDINO_DEC_LAYERS", 6)
+        model = GroundingDINO(variant=variant, enc_layers=enc,
+                              dec_layers=dec, dtype=jnp.bfloat16)
         params = jax.tree.map(jnp.asarray, convert_gdino(
-            {k: v.numpy() for k, v in sd.items()}, variant))
+            {k: v.numpy() for k, v in sd.items()}, variant,
+            enc_layers=enc, dec_layers=dec))
         bert, bert_params = bert_params_from_checkpoint(
             {k: v for k, v in sd.items()})
 

@@ -16,6 +16,8 @@ from coin_tpu.models.convert import _dense, _t
 
 
 def clean_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    if not any(k.startswith("module.") for k in sd):
+        return sd  # already clean — preserve the caller's dict (type)
     return {k[len("module."):] if k.startswith("module.") else k: v
             for k, v in sd.items()}
 

@@ -404,9 +404,10 @@ def inverse_sigmoid(x, eps=1e-5):
 
 
 def box_sine_embedding(boxes: jnp.ndarray, dim: int = 128) -> jnp.ndarray:
-    """DAB-DETR sine embedding of (cx, cy, w, h) → (..., 2*dim) for the
-    ref_point_head (GroundingDINO gen_sineembed_for_position: uses cx, cy
-    only for the 512→256 head input of dim 2·128 per coord pair)."""
+    """DAB-DETR sine embedding of (cx, cy, w, h) → (..., 4*dim) for the
+    ref_point_head (GroundingDINO gen_sineembed_for_position with
+    query_dim=4: concat(pos_y, pos_x, pos_w, pos_h), 128 dims each →
+    the official MLP(512, 256, 256) head input)."""
     scale = 2 * np.pi
     dim_t = 10000.0 ** (2 * (np.arange(dim) // 2) / dim)
     def embed(v):
@@ -415,4 +416,6 @@ def box_sine_embedding(boxes: jnp.ndarray, dim: int = 128) -> jnp.ndarray:
             [jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])], axis=-1)
     cx = embed(boxes[..., 0])
     cy = embed(boxes[..., 1])
-    return jnp.concatenate([cy, cx], axis=-1)
+    w = embed(boxes[..., 2])
+    h = embed(boxes[..., 3])
+    return jnp.concatenate([cy, cx, w, h], axis=-1)

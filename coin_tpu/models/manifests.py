@@ -1,0 +1,328 @@
+"""Official checkpoint key-name manifests (VERDICT r2 item 4).
+
+The converters (convert.py, convert_gdino.py) map the OFFICIAL torch
+checkpoint layouts into our flax trees. In a zero-egress environment the
+real files can't be downloaded, so the residual risk is a silently
+wrong key name. These manifests declare, key by key (with shapes), the
+exact state-dict layout of the official model definitions, derived from
+the published model code:
+
+- CLIP ResNet:  openai/CLIP ``clip/model.py`` (``ModifiedResNet``,
+  ``AttentionPool2d``, ``Transformer``; the RN50 archive the reference
+  downloads at ``coin/modeling/utils.py:344-354``).
+- GroundingDINO: IDEA-Research/GroundingDINO
+  ``groundingdino/models/GroundingDINO/{backbone/swin_transformer.py,
+  transformer.py, fuse_modules.py, groundingdino.py}`` plus HF
+  ``BertModel`` (the ``groundingdino_swinb_cogcoor.pth`` layout the
+  reference loads via ``clean_state_dict``,
+  ``coin/engine/test.py:44-53``).
+
+Structure tests build synthetic checkpoints FROM these manifests (not
+from our converters' inverse), so a converter key-name drift fails CI;
+``tools/verify_assets.py`` diffs a real checkpoint's keys against the
+same manifests the moment assets mount.
+
+Buffers (non-parameter keys present in the official state dicts) are
+listed separately — converters may ignore them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Set, Tuple
+
+Shape = Tuple[int, ...]
+
+
+def _bn(keys: Dict[str, Shape], bufs: Set[str], p: str, c: int) -> None:
+    keys[f"{p}.weight"] = (c,)
+    keys[f"{p}.bias"] = (c,)
+    keys[f"{p}.running_mean"] = (c,)
+    keys[f"{p}.running_var"] = (c,)
+    bufs.add(f"{p}.num_batches_tracked")
+
+
+def _ln(keys: Dict[str, Shape], p: str, c: int) -> None:
+    keys[f"{p}.weight"] = (c,)
+    keys[f"{p}.bias"] = (c,)
+
+
+def _lin(keys: Dict[str, Shape], p: str, o: int, i: int,
+         bias: bool = True) -> None:
+    keys[f"{p}.weight"] = (o, i)
+    if bias:
+        keys[f"{p}.bias"] = (o,)
+
+
+# --------------------------------------------------------------------- #
+# CLIP ResNet (RN50 family)
+# --------------------------------------------------------------------- #
+
+_CLIP_RN = {
+    # depth: (stage blocks, stem width, text width, text layers, heads,
+    #         embed(output) dim, input resolution)
+    50: ((3, 4, 6, 3), 64, 512, 12, 8, 1024, 224),
+    101: ((3, 4, 23, 3), 64, 512, 12, 8, 512, 224),
+    200: ((4, 6, 10, 6), 80, 640, 12, 10, 640, 288),    # RN50x4
+    800: ((6, 8, 18, 8), 96, 768, 12, 12, 768, 384),    # RN50x16
+}
+
+
+def clip_resnet_manifest(depth: int = 50
+                         ) -> Tuple[Dict[str, Shape], Set[str]]:
+    """Full official OpenAI CLIP RN state dict (params + buffers)."""
+    blocks, width, t_width, t_layers, t_heads, embed_dim, res = \
+        _CLIP_RN[depth]
+    keys: Dict[str, Shape] = {}
+    bufs: Set[str] = set()
+
+    # --- visual stem (3-conv anti-aliased; model.py ModifiedResNet) ---
+    keys["visual.conv1.weight"] = (width // 2, 3, 3, 3)
+    _bn(keys, bufs, "visual.bn1", width // 2)
+    keys["visual.conv2.weight"] = (width // 2, width // 2, 3, 3)
+    _bn(keys, bufs, "visual.bn2", width // 2)
+    keys["visual.conv3.weight"] = (width, width // 2, 3, 3)
+    _bn(keys, bufs, "visual.bn3", width)
+
+    inplanes = width
+    for s, nblocks in enumerate(blocks):
+        planes = width * (2 ** s)
+        for b in range(nblocks):
+            p = f"visual.layer{s + 1}.{b}"
+            cin = inplanes if b == 0 else planes * 4
+            keys[f"{p}.conv1.weight"] = (planes, cin, 1, 1)
+            _bn(keys, bufs, f"{p}.bn1", planes)
+            keys[f"{p}.conv2.weight"] = (planes, planes, 3, 3)
+            _bn(keys, bufs, f"{p}.bn2", planes)
+            keys[f"{p}.conv3.weight"] = (planes * 4, planes, 1, 1)
+            _bn(keys, bufs, f"{p}.bn3", planes * 4)
+            if b == 0:  # Sequential('-1' avgpool, '0' conv, '1' bn)
+                keys[f"{p}.downsample.0.weight"] = (planes * 4, cin, 1, 1)
+                _bn(keys, bufs, f"{p}.downsample.1", planes * 4)
+        inplanes = planes * 4
+
+    # --- attention pool ---
+    feat_dim = width * 32
+    spacial = res // 32
+    keys["visual.attnpool.positional_embedding"] = (spacial * spacial + 1,
+                                                    feat_dim)
+    for proj in ("k_proj", "q_proj", "v_proj"):
+        _lin(keys, f"visual.attnpool.{proj}", feat_dim, feat_dim)
+    _lin(keys, "visual.attnpool.c_proj", embed_dim, feat_dim)
+
+    # --- text transformer ---
+    for i in range(t_layers):
+        p = f"transformer.resblocks.{i}"
+        keys[f"{p}.attn.in_proj_weight"] = (3 * t_width, t_width)
+        keys[f"{p}.attn.in_proj_bias"] = (3 * t_width,)
+        _lin(keys, f"{p}.attn.out_proj", t_width, t_width)
+        _ln(keys, f"{p}.ln_1", t_width)
+        _lin(keys, f"{p}.mlp.c_fc", 4 * t_width, t_width)
+        _lin(keys, f"{p}.mlp.c_proj", t_width, 4 * t_width)
+        _ln(keys, f"{p}.ln_2", t_width)
+    keys["token_embedding.weight"] = (49408, t_width)
+    keys["positional_embedding"] = (77, t_width)
+    _ln(keys, "ln_final", t_width)
+    keys["text_projection"] = (t_width, embed_dim)
+    keys["logit_scale"] = ()
+    # jit-archive int buffers build_model() deletes (model.py:428-430)
+    bufs.update({"input_resolution", "context_length", "vocab_size"})
+    return keys, bufs
+
+
+# --------------------------------------------------------------------- #
+# GroundingDINO (Swin + BERT + fusion transformer)
+# --------------------------------------------------------------------- #
+
+_SWIN = {
+    # variant: (embed_dim, depths, heads, window)
+    "swinT": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
+    "swinB": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
+    "swinL": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12),
+}
+
+
+def swin_manifest(variant: str = "swinB", prefix: str = "backbone.0",
+                  out_indices: Iterable[int] = (1, 2, 3)
+                  ) -> Tuple[Dict[str, Shape], Set[str]]:
+    """IDEA Swin backbone keys (swin_transformer.py layout: qkv fused,
+    PatchMerging reduction/norm, per-out-index norms)."""
+    embed, depths, heads, window = _SWIN[variant]
+    dims = [embed * (2 ** s) for s in range(len(depths))]
+    keys: Dict[str, Shape] = {}
+    bufs: Set[str] = set()
+
+    keys[f"{prefix}.patch_embed.proj.weight"] = (embed, 3, 4, 4)
+    keys[f"{prefix}.patch_embed.proj.bias"] = (embed,)
+    _ln(keys, f"{prefix}.patch_embed.norm", embed)
+    table = (2 * window - 1) ** 2
+    for s, depth in enumerate(depths):
+        d = dims[s]
+        for b in range(depth):
+            p = f"{prefix}.layers.{s}.blocks.{b}"
+            _ln(keys, f"{p}.norm1", d)
+            keys[f"{p}.attn.relative_position_bias_table"] = (table,
+                                                              heads[s])
+            bufs.add(f"{p}.attn.relative_position_index")
+            _lin(keys, f"{p}.attn.qkv", 3 * d, d)
+            _lin(keys, f"{p}.attn.proj", d, d)
+            _ln(keys, f"{p}.norm2", d)
+            _lin(keys, f"{p}.mlp.fc1", 4 * d, d)
+            _lin(keys, f"{p}.mlp.fc2", d, 4 * d)
+        if s < len(depths) - 1:
+            p = f"{prefix}.layers.{s}.downsample"
+            keys[f"{p}.reduction.weight"] = (2 * d, 4 * d)
+            _ln(keys, f"{p}.norm", 4 * d)
+    for s in out_indices:
+        _ln(keys, f"{prefix}.norm{s}", dims[s])
+    return keys, bufs
+
+
+def bert_manifest(prefix: str = "bert", layers: int = 12,
+                  hidden: int = 768, vocab: int = 30522
+                  ) -> Tuple[Dict[str, Shape], Set[str]]:
+    """HF BertModel keys as they appear inside the GroundingDINO
+    checkpoint (``bert.*``)."""
+    keys: Dict[str, Shape] = {}
+    bufs: Set[str] = {f"{prefix}.embeddings.position_ids"}
+    inter = hidden * 4
+    keys[f"{prefix}.embeddings.word_embeddings.weight"] = (vocab, hidden)
+    keys[f"{prefix}.embeddings.position_embeddings.weight"] = (512, hidden)
+    keys[f"{prefix}.embeddings.token_type_embeddings.weight"] = (2, hidden)
+    _ln(keys, f"{prefix}.embeddings.LayerNorm", hidden)
+    for i in range(layers):
+        p = f"{prefix}.encoder.layer.{i}"
+        for qkv in ("query", "key", "value"):
+            _lin(keys, f"{p}.attention.self.{qkv}", hidden, hidden)
+        _lin(keys, f"{p}.attention.output.dense", hidden, hidden)
+        _ln(keys, f"{p}.attention.output.LayerNorm", hidden)
+        _lin(keys, f"{p}.intermediate.dense", inter, hidden)
+        _lin(keys, f"{p}.output.dense", hidden, inter)
+        _ln(keys, f"{p}.output.LayerNorm", hidden)
+    _lin(keys, f"{prefix}.pooler.dense", hidden, hidden)
+    return keys, bufs
+
+
+def gdino_manifest(variant: str = "swinB", enc_layers: int = 6,
+                   dec_layers: int = 6, num_queries: int = 900,
+                   bert_layers: int = 12
+                   ) -> Tuple[Dict[str, Shape], Set[str]]:
+    """The full ``groundingdino_*.pth`` 'model' dict layout (after
+    clean_state_dict strips 'module.')."""
+    d = 256                   # hidden_dim
+    ffn, t_ffn = 2048, 1024   # image / text enhancer FFN dims
+    heads, levels, points = 8, 4, 4
+    fuse_embed = 1024         # BiMultiHeadAttention embed_dim
+
+    keys, bufs = swin_manifest(variant)
+    bk, bb = bert_manifest(layers=bert_layers)
+    keys.update(bk)
+    bufs |= bb
+
+    embed, depths, _, _ = _SWIN[variant]
+    chans = [embed * 2, embed * 4, embed * 8]  # out_indices (1,2,3)
+
+    _lin(keys, "feat_map", d, 768)
+    for i in range(4):
+        cin = chans[i] if i < 3 else chans[-1]
+        k = 1 if i < 3 else 3
+        keys[f"input_proj.{i}.0.weight"] = (d, cin, k, k)
+        keys[f"input_proj.{i}.0.bias"] = (d,)
+        _ln(keys, f"input_proj.{i}.1", d)  # GroupNorm(32, d)
+
+    t = "transformer"
+    keys[f"{t}.level_embed"] = (levels, d)
+    keys[f"{t}.tgt_embed.weight"] = (num_queries, d)
+    _lin(keys, f"{t}.enc_output", d, d)
+    _ln(keys, f"{t}.enc_output_norm", d)
+    for j, (o, i_) in enumerate(((d, d), (d, d), (4, d))):
+        _lin(keys, f"{t}.enc_out_bbox_embed.layers.{j}", o, i_)
+
+    def deform(p):
+        _lin(keys, f"{p}.sampling_offsets", heads * levels * points * 2, d)
+        _lin(keys, f"{p}.attention_weights", heads * levels * points, d)
+        _lin(keys, f"{p}.value_proj", d, d)
+        _lin(keys, f"{p}.output_proj", d, d)
+
+    def mha(p):
+        keys[f"{p}.in_proj_weight"] = (3 * d, d)
+        keys[f"{p}.in_proj_bias"] = (3 * d,)
+        _lin(keys, f"{p}.out_proj", d, d)
+
+    for i in range(enc_layers):
+        p = f"{t}.encoder.layers.{i}"           # image (deformable)
+        deform(f"{p}.self_attn")
+        _ln(keys, f"{p}.norm1", d)
+        _lin(keys, f"{p}.linear1", ffn, d)
+        _lin(keys, f"{p}.linear2", d, ffn)
+        _ln(keys, f"{p}.norm2", d)
+        p = f"{t}.encoder.text_layers.{i}"      # text enhancer
+        mha(f"{p}.self_attn")
+        _ln(keys, f"{p}.norm1", d)
+        _lin(keys, f"{p}.linear1", t_ffn, d)
+        _lin(keys, f"{p}.linear2", d, t_ffn)
+        _ln(keys, f"{p}.norm2", d)
+        p = f"{t}.encoder.fusion_layers.{i}"    # BiAttentionBlock
+        keys[f"{p}.gamma_v"] = (d,)
+        keys[f"{p}.gamma_l"] = (d,)
+        _ln(keys, f"{p}.layer_norm_v", d)
+        _ln(keys, f"{p}.layer_norm_l", d)
+        for proj in ("v_proj", "l_proj", "values_v_proj",
+                     "values_l_proj"):
+            _lin(keys, f"{p}.attn.{proj}", fuse_embed, d)
+        for proj in ("out_v_proj", "out_l_proj"):
+            _lin(keys, f"{p}.attn.{proj}", d, fuse_embed)
+
+    for i in range(dec_layers):
+        p = f"{t}.decoder.layers.{i}"
+        deform(f"{p}.cross_attn")
+        _ln(keys, f"{p}.norm1", d)
+        mha(f"{p}.ca_text")
+        _ln(keys, f"{p}.catext_norm", d)
+        mha(f"{p}.self_attn")
+        _ln(keys, f"{p}.norm2", d)
+        _lin(keys, f"{p}.linear1", ffn, d)
+        _lin(keys, f"{p}.linear2", d, ffn)
+        _ln(keys, f"{p}.norm3", d)
+        for j, (o, i_) in enumerate(((d, d), (d, d), (4, d))):
+            _lin(keys, f"bbox_embed.{i}.layers.{j}", o, i_)
+
+    _ln(keys, f"{t}.decoder.norm", d)
+    for j, (o, i_) in enumerate(((d, 2 * d), (d, d))):
+        _lin(keys, f"{t}.decoder.ref_point_head.layers.{j}", o, i_)
+    return keys, bufs
+
+
+# --------------------------------------------------------------------- #
+
+
+def synth_state_dict(keys: Dict[str, Shape], seed: int = 0):
+    """A random checkpoint with exactly the manifest's params (numpy)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return {k: (np.asarray(rng.randn(*s)) * 0.02).astype(np.float32)
+            for k, s in keys.items()}
+
+
+class RecordingDict(dict):
+    """State-dict wrapper that records which keys a converter read."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.accessed: Set[str] = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        return super().__contains__(k)
+
+
+def diff_keys(actual: Iterable[str], manifest_keys: Dict[str, Shape],
+              manifest_bufs: Set[str]) -> Dict[str, list]:
+    """Compare a real checkpoint's key set against a manifest: returns
+    {'missing': [...], 'unexpected': [...]} (used by verify_assets)."""
+    actual = set(actual)
+    expected = set(manifest_keys) | set(manifest_bufs)
+    return {"missing": sorted(expected - actual),
+            "unexpected": sorted(actual - expected)}

@@ -1,0 +1,75 @@
+"""Real-asset drill (VERDICT r2 item 10): run tools/verify_assets.py
+end-to-end against MANIFEST-built synthetic checkpoints, so the moment
+real weights mount, parity measurement is a one-command affair and the
+converters' key-name expectations are exercised through the same CLI a
+user would run. Reference bar: clean_state_dict load
+(coin/engine/test.py:44-53), CLIP download/split
+(clip_backbone.py:70-140)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+REF_BPE = ("/root/reference/coin/modeling/text_encoder/"
+           "bpe_simple_vocab_16e6.txt.gz")
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+def _save_pt(path, keys, extra_wrap=None):
+    from coin_tpu.models import manifests as M
+    sd = {k: torch.from_numpy(v)
+          for k, v in M.synth_state_dict(keys).items()}
+    torch.save({"model": sd} if extra_wrap == "model" else sd, path)
+
+
+def _bert_vocab(path):
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", ".", ","]
+    words = ["car", "person", "rider", "truck", "bus", "train",
+             "motorcycle", "bicycle", "a", "photo", "of"]
+    with open(path, "w") as f:
+        f.write("\n".join(toks + words) + "\n")
+
+
+@pytest.mark.slow
+def test_verify_assets_gdino_drill(tmp_path):
+    """Manifest-built GroundingDINO checkpoint (official key layout,
+    reduced 1/1 towers) through the real CLI: converter + BERT build +
+    one forward; manifest diff must be clean; exit code 0."""
+    import verify_assets as VA
+    from coin_tpu.models import manifests as M
+
+    keys, _ = M.gdino_manifest("swinT", enc_layers=1, dec_layers=1,
+                               num_queries=64, bert_layers=2)
+    ckpt = str(tmp_path / "gdino_synth.pth")
+    _save_pt(ckpt, keys, extra_wrap="model")
+    vocab = str(tmp_path / "vocab.txt")
+    _bert_vocab(vocab)
+
+    rc = VA.main(["--gdino", ckpt, "--bert-vocab", vocab,
+                  "--variant-gdino", "swinT",
+                  "--gdino-enc", "1", "--gdino-dec", "1",
+                  "--classes", "car,person"])
+    assert rc == 0
+
+
+@pytest.mark.slow
+def test_verify_assets_clip_drill(tmp_path):
+    """Manifest-built OpenAI CLIP RN50 checkpoint through the CLI:
+    visual+text conversion, scorer forward, backbone load; exit 0."""
+    if not os.path.exists(REF_BPE):
+        pytest.skip("BPE vocab asset not present")
+    import verify_assets as VA
+    from coin_tpu.models import manifests as M
+
+    keys, _ = M.clip_resnet_manifest(50)
+    ckpt = str(tmp_path / "clip_rn50_synth.pt")
+    _save_pt(ckpt, keys)
+
+    rc = VA.main(["--clip", ckpt, "--clip-bpe", REF_BPE,
+                  "--classes", "car,person"])
+    assert rc == 0

@@ -50,6 +50,13 @@ def check_clip(path, bpe, classes):
 
     from coin_tpu.config import load_config
     cfg = load_config()
+
+    # key-layout audit vs the official OpenAI manifest
+    from coin_tpu.models import manifests as M
+    from coin_tpu.models.convert import load_torch_state_dict
+    sd_keys = set(load_torch_state_dict(path))
+    mkeys, mbufs = M.clip_resnet_manifest(cfg.MODEL.RESNETS.DEPTH)
+    manifest_note = _manifest_note(M.diff_keys(sd_keys, mkeys, mbufs))
     cfg.TPU.CLIP_WEIGHTS = path
     cfg.TPU.CLIP_BPE_VOCAB = bpe
     cfg.DATASETS.STYLE_NAME = "realistic"
@@ -73,10 +80,19 @@ def check_clip(path, bpe, classes):
                            jnp.asarray([[[0, 0, 32, 32]]], jnp.float32))
     _, report = load_clip_into_variables(variables, path,
                                          cfg.MODEL.RESNETS.DEPTH)
-    return f"scorer probs ok; backbone load: {report}"
+    return f"scorer probs ok; backbone load: {report}; {manifest_note}"
 
 
-def check_gdino(path, vocab, variant, classes):
+def _manifest_note(diff):
+    miss, unexp = diff["missing"], diff["unexpected"]
+    if not miss and not unexp:
+        return "keys == official manifest"
+    return (f"manifest diff: {len(miss)} missing "
+            f"(e.g. {miss[:3]}), {len(unexp)} unexpected "
+            f"(e.g. {unexp[:3]})")
+
+
+def check_gdino(path, vocab, variant, classes, enc=6, dec=6):
     import jax.numpy as jnp
     import numpy as np
 
@@ -85,6 +101,26 @@ def check_gdino(path, vocab, variant, classes):
     cfg.MODEL.TEACHER_CLOUD.WEIGHT = path
     cfg.MODEL.TEACHER_CLOUD.TYPE = variant
     cfg.TPU.BERT_VOCAB = vocab
+    cfg.TPU.GDINO_ENC_LAYERS = enc
+    cfg.TPU.GDINO_DEC_LAYERS = dec
+
+    # key-layout audit against the declared official manifest BEFORE
+    # converting, so a drifted layout is reported, not crashed on
+    import torch
+    from coin_tpu.models import manifests as M
+    from coin_tpu.models.convert_gdino import clean_state_dict
+    sd = torch.load(path, map_location="cpu")
+    sd = clean_state_dict(sd.get("model", sd))
+    bert_layers = len({k.split(".")[3] for k in sd
+                       if k.startswith("bert.encoder.layer.")})
+    keys, bufs = M.gdino_manifest(variant, enc_layers=enc,
+                                  dec_layers=dec,
+                                  num_queries=sd[
+                                      "transformer.tgt_embed.weight"
+                                  ].shape[0],
+                                  bert_layers=bert_layers)
+    note = _manifest_note(M.diff_keys(sd.keys(), keys, bufs))
+
     from coin_tpu.engine.cloud_factory import build_cloud_detector
     det = build_cloud_detector(cfg, "GDINO", classes)
     imgs = jnp.zeros((1, 256, 256, 3), jnp.uint8)
@@ -92,7 +128,7 @@ def check_gdino(path, vocab, variant, classes):
     out = det(imgs, hw)
     n = int(np.asarray(out.valid).sum())
     assert np.isfinite(np.asarray(out.boxes)).all()
-    return f"forward ok, {n} detections above threshold"
+    return f"forward ok, {n} detections above threshold; {note}"
 
 
 def check_glip(path, vocab, variant, classes):
@@ -136,6 +172,8 @@ def main(argv=None):
     p.add_argument("--bert-vocab")
     p.add_argument("--variant-gdino", default="swinB")
     p.add_argument("--variant-glip", default="swinL")
+    p.add_argument("--gdino-enc", type=int, default=6)
+    p.add_argument("--gdino-dec", type=int, default=6)
     p.add_argument("--pckl")
     p.add_argument("--dataset")
     p.add_argument("--root", default=os.environ.get(
@@ -157,7 +195,8 @@ def main(argv=None):
         if not args.bert_vocab:
             p.error("--gdino needs --bert-vocab")
         checks.append(("gdino", lambda: check_gdino(
-            args.gdino, args.bert_vocab, args.variant_gdino, classes)))
+            args.gdino, args.bert_vocab, args.variant_gdino, classes,
+            enc=args.gdino_enc, dec=args.gdino_dec)))
     if args.glip:
         if not args.bert_vocab:
             p.error("--glip needs --bert-vocab")
@@ -180,8 +219,8 @@ def main(argv=None):
             traceback.print_exc()
             _result(name, False, f"{type(e).__name__}: {e}")
             failed += 1
-    sys.exit(failed)
+    return failed
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
