@@ -56,11 +56,29 @@ def all_gather_objects(obj: Any) -> List[Any]:
             for i in range(jax.process_count())]
 
 
-def merge_result_stores(store):
+def merge_result_stores(store, chunk_bytes: int = 512 << 20):
     """Union each process's ResultStore shard (replaces the collector
-    all_gather, gdino_collector.py:72-75)."""
+    all_gather, gdino_collector.py:72-75).
+
+    Stores beyond ``chunk_bytes`` of pickle are exchanged in image-id
+    chunks: the padded allgather materializes world × max_payload per
+    host, and a BDD100K-scale store (70k images × 128 boxes) is hundreds
+    of MB per rank — chunking bounds peak host memory instead of letting
+    one gather eat world × store at once."""
     if jax.process_count() == 1:
         return store
-    for other in all_gather_objects(store):
-        store.merge(other)
+    payload_size = len(pickle.dumps(store))
+    # every process must take the same branch and chunk count
+    n_chunks = max(1, -(-payload_size // chunk_bytes))
+    n_chunks = max(all_gather_objects(n_chunks))
+    if n_chunks == 1:
+        for other in all_gather_objects(store):
+            store.merge(other)
+        return store
+    ids = sorted(store.image_ids())
+    for ci in range(n_chunks):
+        sub = type(store)(store.num_classes)
+        sub._data = {i: store._data[i] for i in ids[ci::n_chunks]}
+        for other in all_gather_objects(sub):
+            store.merge(other)
     return store

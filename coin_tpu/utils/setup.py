@@ -66,9 +66,23 @@ def _plain(node):
     return node
 
 
+def enable_compile_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache (first compile of the big step
+    programs takes minutes through the remote-compile relay; cached
+    executables load in seconds and bypass the relay's payload limit)."""
+    import jax
+    cache = path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
 def default_setup(cfg, output_dir: Optional[str] = None,
                   note: str = "") -> None:
     out = output_dir or cfg.OUTPUT_DIR
     seed_all(cfg.SEED)
+    enable_compile_cache()
     logger.info("environment:\n%s", dump_environment())
     snapshot_run(cfg, out, note)

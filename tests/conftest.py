@@ -15,6 +15,14 @@ import jax  # noqa: E402
 # always run on the virtual 8-device CPU mesh
 jax.config.update("jax_platforms", "cpu")
 
+# persistent CPU compile cache: repeated suite runs skip recompiling the
+# big jitted step programs (a large share of the 20+ minute suite time)
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

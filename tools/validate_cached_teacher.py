@@ -1,22 +1,40 @@
 #!/usr/bin/env python
-"""Cached-vs-live teacher A/B (VERDICT round-1 item 5).
+"""Paired-seed AP A/B harness for throughput knobs (VERDICT items).
 
-TPU.CACHE_TEACHER serves the FROZEN pre-burn-up teacher's predictions
-from a one-time collection cache instead of recomputing the forward every
-step (engine/trainer.py train_step_cached). On flipped samples the cache
-is re-projected, so equality holds only up to the detector's flip
-equivariance. This script trains two CoinTrainer runs on synthetic VOC —
-identical seeds/data, cache on vs off, flips enabled — and compares the
-AP50 trajectories to decide whether the approximation is benign.
+Every semantic knob in the bench recipe must carry an A/B artifact:
+this script trains paired CoinTrainer runs on synthetic VOC — identical
+seeds/data order in both arms — and compares final AP50 across seeds.
 
-  python tools/validate_cached_teacher.py [--iters 400] [--eval-every 100]
-      [--images 40] [--out /tmp/cached_ab.json]
+Design (pre-registered, round 3):
+  - paired arms: same SEED, same data order, same pretrain checkpoint.
+  - N seeds (default 8); per-seed delta = var - base.
+  - EXCLUSION RULE (fixed before running): a seed is excluded from the
+    aggregate iff its CLIPDET pretrain AP50 < 10.0 — both arms then
+    start from a non-functional offline teacher and the A/B is
+    undefined there. Excluded seeds stay in the JSON, flagged.
+  - aggregate: mean delta over functional seeds with a 95% t-interval;
+    "pass" = the CI excludes a loss worse than -2 AP50.
+
+Modes:
+  cache    — cached vs live teacher (TPU.CACHE_TEACHER; both exact head)
+  fasthead — live fast-head teacher vs live exact teacher
+  roibatch — half student ROI batch vs full (cached teacher both)
+  budget   — teacher post-NMS budget halved vs default (the
+             foggy_fast.yaml TPU.TEACHER_POST_NMS_TOPK=512 knob at
+             fixture scale: post 64 -> 32, pre 256 -> 128)
+  batch    — per-chip batch doubled with linearly scaled LR and halved
+             iterations (same images seen) vs the base recipe — the
+             TPU batch-scaling question (BENCH.md batch-6 lever)
+
+  python tools/validate_cached_teacher.py --mode budget --seeds 8 \
+      --out bench_artifacts/ab_budget_s8.json
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -24,8 +42,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# two-sided 95% t critical values, df = n-1
+_T95 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
+        7: 2.365, 8: 2.306, 9: 2.262, 10: 2.228, 11: 2.201, 12: 2.179,
+        13: 2.160, 14: 2.145, 15: 2.131}
 
-def build_cfg(root, out, iters, eval_every, batch=2):
+EXCLUDE_PRETRAIN_AP_BELOW = 10.0  # pre-registered exclusion rule
+
+
+def build_cfg(root, out, iters, eval_every, batch=2, base_lr=0.02):
     from coin_tpu.config import load_config
     cfg = load_config()
     cfg.DATASETS.ROOT = root
@@ -34,7 +59,7 @@ def build_cfg(root, out, iters, eval_every, batch=2):
     cfg.OUTPUT_DIR = out
     cfg.SOLVER.IMG_PER_BATCH_UNLABEL = batch
     cfg.SOLVER.MAX_ITER = iters
-    cfg.SOLVER.BASE_LR = 0.02
+    cfg.SOLVER.BASE_LR = base_lr
     cfg.SOLVER.WARMUP_ITERS = 50
     cfg.SOLVER.STEPS = [10 ** 9]
     cfg.SOLVER.FACTOR_LIST = [1, 0.1]
@@ -97,13 +122,11 @@ def pretrain(cfg, store, iters):
     return ckpt, ap
 
 
-def run_one(cfg, store, cache: bool, fast_head: bool = False,
-            weights: str = ""):
+def run_one(cfg, store, cache: bool, weights: str = ""):
     from coin_tpu.engine.trainer import CoinTrainer
     cfg = cfg.clone()
     cfg.TPU.CACHE_TEACHER = bool(cache)
     cfg.TPU.CACHE_TEACHER_MIN_STEPS = 1
-    cfg.TPU.TEACHER_FAST_HEAD = bool(fast_head)
     if weights:
         cfg.MODEL.WEIGHTS = weights
     tr = CoinTrainer(cfg, store=store)
@@ -118,26 +141,39 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=400)
     p.add_argument("--eval-every", type=int, default=100)
-    p.add_argument("--images", type=int, default=40)
-    p.add_argument("--pre-iters", type=int, default=600,
+    p.add_argument("--images", type=int, default=64,
+                   help="fixture train images (sized so CLIPDET pretrain "
+                        "reliably converges; round-2 flatlines came from "
+                        "a 40-image fixture)")
+    p.add_argument("--pre-iters", type=int, default=800,
                    help="CLIPDET pretrain iterations before the A/B")
-    p.add_argument("--seeds", type=int, default=1,
-                   help="repeat the A/B over N seeds and aggregate "
-                        "(single-seed AP on tiny synthetic data is "
-                        "±tens of AP noisy)")
+    p.add_argument("--seeds", type=int, default=8,
+                   help="paired seeds; per-seed AP on tiny synthetic "
+                        "data swings tens of AP, so the aggregate is "
+                        "what decides")
     p.add_argument("--out", default="/tmp/cached_ab.json")
-    p.add_argument("--mode", choices=("cache", "fasthead", "roibatch"),
-                   default="cache",
-                   help="cache: cached vs live teacher (both exact "
-                        "head). fasthead: live fast-head teacher vs "
-                        "live exact teacher (cache off). roibatch: "
-                        "half the student ROI batch vs full (cached "
-                        "teacher both).")
+    p.add_argument("--mode", choices=("cache", "fasthead", "roibatch",
+                                      "budget", "batch"),
+                   default="cache")
+    p.add_argument("--platform", default="",
+                   help="force a JAX platform (e.g. cpu): the A/B is an "
+                        "ACCURACY comparison — both arms on the same "
+                        "platform are valid evidence, and cpu runs "
+                        "avoid the remote-TPU relay's per-step "
+                        "round-trip tax and free the chip for perf "
+                        "work")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     import logging
     logging.basicConfig(level=logging.INFO)
     import tempfile
+
+    from coin_tpu.utils.setup import enable_compile_cache
+    enable_compile_cache()
 
     from coin_tpu.data import voc as voc_mod
     from coin_tpu.data.voc import load_voc_instances, make_synthetic_voc
@@ -171,55 +207,108 @@ def main(argv=None):
         print(f"[seed {seed_idx}] pretrain AP50 = {pre_ap:.2f}")
 
         if args.mode == "cache":
+            names = ("live", "cached")
             base_ap, base_t = run_one(cfg_base, store, cache=False,
                                       weights=ckpt)
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
-            names = ("live", "cached")
         elif args.mode == "fasthead":  # exact vs fast teacher head, live
-            base_ap, base_t = run_one(cfg_base, store, cache=False,
-                                      fast_head=False, weights=ckpt)
-            var_ap, var_t = run_one(cfg_var, store, cache=False,
-                                    fast_head=True, weights=ckpt)
             names = ("exact_head", "fast_head")
-        else:  # roibatch: student ROI batch halved (512→256 production)
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
+                                      weights=ckpt)
+            cfg_var.TPU.TEACHER_FAST_HEAD = True
+            var_ap, var_t = run_one(cfg_var, store, cache=False,
+                                    weights=ckpt)
+        elif args.mode == "roibatch":  # student ROI batch halved
+            names = ("roi_full", "roi_half")
             base_ap, base_t = run_one(cfg_base, store, cache=True,
                                       weights=ckpt)
-            cfg_half = cfg_var.clone()
-            cfg_half.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
-            var_ap, var_t = run_one(cfg_half, store, cache=True,
+            cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
-            names = ("roi_full", "roi_half")
+        elif args.mode == "budget":
+            # fixture-scale image of foggy_fast.yaml's teacher budget
+            # (post-NMS 1000 -> 512, pre-NMS 6000 -> 3000): halve the
+            # teacher's proposal budget only. Live teacher both arms
+            # (the knob only matters for the live phase).
+            names = ("budget_full", "budget_half")
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
+                                      weights=ckpt)
+            cfg_var.TPU.TEACHER_PRE_NMS_TOPK = 128
+            cfg_var.TPU.TEACHER_POST_NMS_TOPK = 32
+            var_ap, var_t = run_one(cfg_var, store, cache=False,
+                                    weights=ckpt)
+        else:  # batch: double per-chip batch, linear LR, same epochs
+            names = ("batch_base", "batch_double")
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            cfg_dbl = build_cfg(root, cfg_var.OUTPUT_DIR,
+                                args.iters // 2,
+                                max(args.eval_every // 2, 1),
+                                batch=2 * cfg_base.SOLVER
+                                .IMG_PER_BATCH_UNLABEL,
+                                base_lr=2 * cfg_base.SOLVER.BASE_LR)
+            cfg_dbl.SEED = cfg_var.SEED
+            cfg_dbl.SOLVER.WARMUP_ITERS = \
+                cfg_base.SOLVER.WARMUP_ITERS // 2
+            var_ap, var_t = run_one(cfg_dbl, store, cache=True,
+                                    weights=ckpt)
         return names, pre_ap, base_ap, var_ap, base_t, var_t
 
     per_seed = []
     for s in range(args.seeds):
         names, pre_ap, base_ap, var_ap, base_t, var_t = run_seed(s)
-        keys = sorted(set(base_ap) & set(var_ap), key=int)
-        final_key = keys[-1] if keys else None
+        fb = base_ap[max(base_ap, key=int)] if base_ap else None
+        fv = var_ap[max(var_ap, key=int)] if var_ap else None
+        excluded = pre_ap < EXCLUDE_PRETRAIN_AP_BELOW
         per_seed.append({
-            "seed": s, "pretrain_ap50": pre_ap,
+            "seed": s, "pretrain_ap50": pre_ap, "excluded": excluded,
             f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
-            "final_base": base_ap.get(final_key),
-            "final_var": var_ap.get(final_key),
+            "final_base": fb, "final_var": fv,
+            "delta": (fv - fb) if fb is not None and fv is not None
+            else None,
             f"{names[0]}_seconds": base_t, f"{names[1]}_seconds": var_t,
         })
+        print(f"[seed {s}] final {names[0]}={fb} {names[1]}={fv}"
+              f"{' EXCLUDED (pretrain flatlined)' if excluded else ''}")
+        # incremental artifact: a cut-short campaign still leaves
+        # analyzable per-seed evidence
+        with open(args.out + ".partial", "w") as f:
+            json.dump({"mode": args.mode, "arms": list(names),
+                       "completed_seeds": s + 1, "per_seed": per_seed},
+                      f, indent=2)
 
     import numpy as np
-    fb = [r["final_base"] for r in per_seed if r["final_base"] is not None]
-    fv = [r["final_var"] for r in per_seed if r["final_var"] is not None]
+    used = [r for r in per_seed
+            if not r["excluded"] and r["delta"] is not None]
+    deltas = [r["delta"] for r in used]
+    n = len(deltas)
+    mean = float(np.mean(deltas)) if n else None
+    sd = float(np.std(deltas, ddof=1)) if n > 1 else None
+    half = (_T95.get(n - 1, 1.96) * sd / math.sqrt(n)
+            if n > 1 else None)
+    ci = ([mean - half, mean + half] if half is not None else None)
     report = {
         "mode": args.mode, "iters": args.iters,
-        "pretrain_iters": args.pre_iters, "seeds": args.seeds,
-        "arms": list(names),
-        "final_base_mean": float(np.mean(fb)) if fb else None,
-        "final_base_std": float(np.std(fb)) if fb else None,
-        "final_var_mean": float(np.mean(fv)) if fv else None,
-        "final_var_std": float(np.std(fv)) if fv else None,
-        "final_delta_mean": (float(np.mean(fv) - np.mean(fb))
-                             if fb and fv else None),
+        "pretrain_iters": args.pre_iters, "images": args.images,
+        "seeds": args.seeds, "arms": list(names),
+        "exclusion_rule": f"pretrain AP50 < {EXCLUDE_PRETRAIN_AP_BELOW}"
+                          " (pre-registered)",
+        "n_functional": n,
+        "excluded_seeds": [r["seed"] for r in per_seed if r["excluded"]],
+        "delta_mean": mean, "delta_sd": sd, "delta_ci95": ci,
+        "final_base_mean": float(np.mean([r["final_base"]
+                                          for r in used])) if n else None,
+        "final_var_mean": float(np.mean([r["final_var"]
+                                         for r in used])) if n else None,
+        "verdict": (None if ci is None else
+                    ("PASS" if ci[0] > -2.0 else
+                     ("FAIL" if ci[1] < 0.0 else "INCONCLUSIVE"))),
+        "verdict_rule": "PASS iff CI95 lower bound > -2 AP50; FAIL iff "
+                        "CI95 upper bound < 0",
         "per_seed": per_seed,
     }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items()
