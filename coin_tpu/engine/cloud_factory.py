@@ -94,8 +94,13 @@ def build_cloud_detector(cfg, arch, class_names):
         # one-command real-asset rehearsal fast on CPU
         enc = cfg.get_path("TPU.GDINO_ENC_LAYERS", 6)
         dec = cfg.get_path("TPU.GDINO_DEC_LAYERS", 6)
-        model = GroundingDINO(variant=variant, enc_layers=enc,
-                              dec_layers=dec, dtype=jnp.bfloat16)
+        # query count comes from the checkpoint itself (official = 900;
+        # reduced drills ship fewer); tolerate the 'module.' prefix
+        nq = next(v for k, v in sd.items()
+                  if k.endswith("transformer.tgt_embed.weight")).shape[0]
+        model = GroundingDINO(variant=variant, num_queries=nq,
+                              enc_layers=enc, dec_layers=dec,
+                              dtype=jnp.bfloat16)
         params = jax.tree.map(jnp.asarray, convert_gdino(
             {k: v.numpy() for k, v in sd.items()}, variant,
             enc_layers=enc, dec_layers=dec))

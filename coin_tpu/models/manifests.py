@@ -296,11 +296,18 @@ def gdino_manifest(variant: str = "swinB", enc_layers: int = 6,
 
 
 def synth_state_dict(keys: Dict[str, Shape], seed: int = 0):
-    """A random checkpoint with exactly the manifest's params (numpy)."""
+    """A random checkpoint with exactly the manifest's params (numpy).
+    Variance-like buffers must be positive (FrozenBN folds them through
+    sqrt — a randn running_var makes the whole tower NaN)."""
     import numpy as np
     rng = np.random.RandomState(seed)
-    return {k: (np.asarray(rng.randn(*s)) * 0.02).astype(np.float32)
-            for k, s in keys.items()}
+    out = {}
+    for k, s in keys.items():
+        v = (np.asarray(rng.randn(*s)) * 0.02).astype(np.float32)
+        if k.endswith("running_var"):
+            v = (1.0 + np.abs(v)).astype(np.float32)
+        out[k] = v
+    return out
 
 
 class RecordingDict(dict):

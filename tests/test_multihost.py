@@ -120,7 +120,7 @@ def test_two_process_end_to_end_pipeline(tmp_path):
              "--out", os.path.join(root, f"res_{num_procs}_{i}.json")],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
             for i in range(num_procs)]
-        texts = [p.communicate(timeout=2400)[0].decode() for p in procs]
+        texts = [p.communicate(timeout=3600)[0].decode() for p in procs]
         for i, (p, out) in enumerate(zip(procs, texts)):
             assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
             outs.append(json.load(open(os.path.join(

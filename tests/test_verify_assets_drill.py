@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 def _save_pt(path, keys, extra_wrap=None):
     from coin_tpu.models import manifests as M
-    sd = {k: torch.from_numpy(v)
+    sd = {k: torch.as_tensor(np.asarray(v))
           for k, v in M.synth_state_dict(keys).items()}
     torch.save({"model": sd} if extra_wrap == "model" else sd, path)
 

@@ -250,8 +250,9 @@ def run_pipeline(args):
                                      jnp.asarray(i >= upd_start))
 
     # ---- stage 3: per-rank eval on host-pulled (replicated) params ----
-    params = jax.device_get(tr.state.params)
-    frozen = jax.device_get(tr.state.frozen)
+    from coin_tpu.parallel.mesh_utils import host_copy
+    params = host_copy(tr.state.params)
+    frozen = host_copy(tr.state.frozen)
     checksum = float(sum(np.abs(np.asarray(l, np.float64)).sum()
                          for l in jax.tree.leaves(params)))
     ap = tr.evaluate(jax.tree.map(jnp.asarray, params),

@@ -152,6 +152,14 @@ def main(argv=None):
                         "data swings tens of AP, so the aggregate is "
                         "what decides")
     p.add_argument("--out", default="/tmp/cached_ab.json")
+    p.add_argument("--seed-start", type=int, default=0,
+                   help="first seed index to run (earlier seeds come "
+                        "from --resume-from)")
+    p.add_argument("--resume-from", default="",
+                   help="prior .partial artifact whose per_seed entries "
+                        "(seeds < --seed-start) are merged into the "
+                        "aggregate — lets a cut-short campaign continue "
+                        "without redoing chip time")
     p.add_argument("--mode", choices=("cache", "fasthead", "roibatch",
                                       "budget", "batch"),
                    default="cache")
@@ -256,7 +264,17 @@ def main(argv=None):
         return names, pre_ap, base_ap, var_ap, base_t, var_t
 
     per_seed = []
-    for s in range(args.seeds):
+    names = None
+    if args.resume_from:
+        with open(args.resume_from) as f:
+            prior = json.load(f)
+        assert prior["mode"] == args.mode, "resume artifact mode mismatch"
+        names = tuple(prior["arms"])
+        per_seed = [r for r in prior["per_seed"]
+                    if r["seed"] < args.seed_start]
+        print(f"[resume] merged {len(per_seed)} prior seeds from "
+              f"{args.resume_from}")
+    for s in range(args.seed_start, args.seeds):
         names, pre_ap, base_ap, var_ap, base_t, var_t = run_seed(s)
         fb = base_ap[max(base_ap, key=int)] if base_ap else None
         fv = var_ap[max(var_ap, key=int)] if var_ap else None
@@ -275,8 +293,8 @@ def main(argv=None):
         # analyzable per-seed evidence
         with open(args.out + ".partial", "w") as f:
             json.dump({"mode": args.mode, "arms": list(names),
-                       "completed_seeds": s + 1, "per_seed": per_seed},
-                      f, indent=2)
+                       "completed_seeds": len(per_seed),
+                       "per_seed": per_seed}, f, indent=2)
 
     import numpy as np
     used = [r for r in per_seed
