@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Capture + parse an XLA device trace of the production adaptation step.
+
+Produces the per-op cost rollup behind BENCH.md's cost model: captures a
+jax.profiler trace of N live (or cached) steps, parses the Perfetto
+trace.json.gz it writes, and prints (a) a rollup by HLO category and
+(b) the top individual ops — the shopping list for tail optimization
+(the elementwise/layout share that is not MXU work).
+
+  python tools/trace_step.py [--flavor live|cached] [--steps 3]
+  python tools/trace_step.py --parse-only /tmp/coin_trace
+
+Works through the remote-TPU relay (slow trace fetch; keep steps small).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def categorize(name: str) -> str:
+    n = name.lower()
+    if "convolution" in n or n.startswith("conv"):
+        return "convolution"
+    if "dot" in n or "einsum" in n or "gemm" in n:
+        return "dot"
+    if n.startswith("loop_") or "loop_fusion" in n:
+        return "loop_fusion(elementwise)"
+    if "input_output_fusion" in n or n.startswith("output_fusion"):
+        return "output_fusion"
+    if "copy" in n or "transpose" in n or "bitcast" in n \
+            or "reshape" in n or "format" in n:
+        return "data_formatting"
+    if "while" in n:
+        return "while(NMS etc)"
+    if "sort" in n or "top-k" in n or "topk" in n:
+        return "sort/topk"
+    if "reduce-window" in n or "pool" in n:
+        return "pooling"
+    if "all-reduce" in n or "all-gather" in n:
+        return "collective"
+    if "fusion" in n:
+        return "fusion(other)"
+    return "other"
+
+
+def parse_trace(logdir: str, top: int = 40):
+    paths = sorted(glob.glob(os.path.join(
+        logdir, "**", "*.trace.json.gz"), recursive=True))
+    assert paths, f"no trace.json.gz under {logdir}"
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # find device (TPU) process ids: their thread names contain "XLA Op"
+    # or the pid metadata names contain TPU/device
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower()}
+    by_name = defaultdict(float)
+    count = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        dur = float(e.get("dur", 0.0))  # microseconds
+        by_name[name] += dur
+        count[name] += 1
+        total += dur
+    by_cat = defaultdict(float)
+    for n, d in by_name.items():
+        by_cat[categorize(n)] += d
+    print(f"# device total: {total/1e3:.2f} ms "
+          f"(all steps in trace; divide by step count)")
+    print("\n## by category")
+    for c, d in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"{c:28s} {d/1e3:9.2f} ms  {100*d/max(total,1e-9):5.1f}%")
+    print(f"\n## top {top} ops")
+    for n, d in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{d/1e3:9.2f} ms  x{count[n]:<4d} {n[:110]}")
+    return by_cat, by_name
+
+
+def capture(flavor: str, steps: int, logdir: str):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    # reuse bench.py's exact production-step setup by importing its main
+    # pieces (the step comes from the shared step_builder either way)
+    import dataclasses
+    import optax
+    from coin_tpu.engine import pipelines
+    from coin_tpu.engine.common import simple_class_tokens
+    from coin_tpu.engine.state import (Prototypes, TrainState,
+                                       default_freeze_predicate,
+                                       merge_params, partition_params)
+    from coin_tpu.engine.step_builder import (StepHyper,
+                                              build_adaptation_steps)
+    from coin_tpu.models.ckg import CKGNet
+    from coin_tpu.models.detector import OpenVocabularyRCNN
+    from coin_tpu.structures import Detections
+
+    num_classes, b, h, w, cap = 8, 3, 608, 1216, 128
+    model = OpenVocabularyRCNN(num_classes=num_classes, depth=50,
+                               compute_dtype=jnp.bfloat16)
+    pcfg = pipelines.PipelineConfig(
+        num_classes=num_classes, pre_nms_topk_train=6000,
+        post_nms_topk_train=1000, pre_nms_topk_test=6000,
+        post_nms_topk_test=1000, roi_batch_size=512, rpn_batch_size=256)
+    tokens = jnp.asarray(simple_class_tokens(num_classes + 1))
+    merge_model = CKGNet(hidden_size=1024, num_classes=num_classes + 1)
+    rng0 = np.random.RandomState(0)
+    images_u8 = jnp.asarray(rng0.randint(0, 255, (b, h, w, 3), np.uint8))
+    image_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (b, 1))
+    flip = jnp.zeros((b,), bool)
+
+    def synth_online(n):
+        boxes = rng0.uniform(0, 500, (b, cap, 4)).astype(np.float32)
+        boxes[..., 2:] = boxes[..., :2] + rng0.uniform(32, 160, (b, cap, 2))
+        classes = rng0.randint(0, num_classes, (b, cap))
+        probs = np.full((b, cap, num_classes + 1), 0.02, np.float32)
+        for i in range(b):
+            probs[i, np.arange(cap), classes[i]] = 0.8
+        valid = np.zeros((b, cap), bool)
+        valid[:, :n] = True
+        return Detections(boxes=jnp.asarray(boxes),
+                          scores=jnp.asarray(probs.max(-1)),
+                          classes=jnp.asarray(classes, jnp.int32),
+                          valid=jnp.asarray(valid),
+                          probs=jnp.asarray(probs))
+
+    online_rcnn, online_rpn = synth_online(24), synth_online(32)
+    offline = jax.tree.map(
+        lambda x: x[:, :100] if hasattr(x, "shape") and x.ndim >= 2 else x,
+        synth_online(40))
+    variables = model.init(jax.random.key(0), images_u8[:1].astype(
+        jnp.float32), tokens, jnp.asarray([[[0, 0, 64, 64]]], jnp.float32))
+    params, frozen = partition_params(variables,
+                                      default_freeze_predicate(True))
+    merge_vars = merge_model.init(
+        jax.random.key(1), jnp.zeros((2, 1024)),
+        jnp.zeros((num_classes + 1, 1024)),
+        jnp.zeros((num_classes + 1, 1024)),
+        jnp.zeros((2, num_classes + 1)), jnp.zeros((2, num_classes + 1)))
+    proto0 = jnp.asarray(rng0.randn(num_classes + 1, 1024), jnp.float32)
+    tx = optax.sgd(1e-3, momentum=0.9)
+    merge_tx = optax.sgd(1e-3, momentum=0.9)
+    state = TrainState(
+        params=params, frozen=frozen, opt_state=tx.init(params),
+        step=jnp.asarray(0), rng=jax.random.key(2),
+        prototypes=Prototypes(proto0, proto0, proto0),
+        teacher_params=jax.tree.map(jnp.copy, params),
+        merge_params=merge_vars["params"],
+        merge_opt_state=merge_tx.init(merge_vars["params"]))
+    live, cached = build_adaptation_steps(
+        model, merge_model, tx, merge_tx, tokens, pcfg, pcfg,
+        StepHyper(burn_up=10, proto_start=0))
+    fn, extra = (live, ()) if flavor == "live" else (cached, (offline,))
+
+    # warm/compile outside the trace
+    state, losses = fn(state, images_u8, image_hw, flip, online_rcnn,
+                       online_rpn, *extra)
+    jax.block_until_ready(losses)
+    jax.profiler.start_trace(logdir)
+    for _ in range(steps):
+        state, losses = fn(state, images_u8, image_hw, flip, online_rcnn,
+                           online_rpn, *extra)
+    jax.block_until_ready(losses)
+    jax.profiler.stop_trace()
+    print(f"trace written to {logdir}; {steps} {flavor} steps")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--flavor", default="live", choices=("live", "cached"))
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--logdir", default="/tmp/coin_trace")
+    p.add_argument("--parse-only", default="")
+    p.add_argument("--top", type=int, default=40)
+    args = p.parse_args()
+    if args.parse_only:
+        parse_trace(args.parse_only, args.top)
+        return
+    capture(args.flavor, args.steps, args.logdir)
+    parse_trace(args.logdir, args.top)
+
+
+if __name__ == "__main__":
+    main()
