@@ -161,7 +161,7 @@ def main(argv=None):
                         "aggregate — lets a cut-short campaign continue "
                         "without redoing chip time")
     p.add_argument("--mode", choices=("cache", "fasthead", "roibatch",
-                                      "budget", "batch"),
+                                      "budget", "batch", "batch_live"),
                    default="cache")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
@@ -246,9 +246,15 @@ def main(argv=None):
             cfg_var.TPU.TEACHER_POST_NMS_TOPK = 32
             var_ap, var_t = run_one(cfg_var, store, cache=False,
                                     weights=ckpt)
-        else:  # batch: double per-chip batch, linear LR, same epochs
-            names = ("batch_base", "batch_double")
-            base_ap, base_t = run_one(cfg_base, store, cache=True,
+        else:  # batch[/_live]: double per-chip batch, linear LR, same
+            # epochs. 'batch' runs both arms cached (the step_one phase,
+            # where most iterations live); 'batch_live' runs both arms
+            # with the live teacher (step_two phase) — a mixed-batch
+            # recipe needs each phase's own verdict.
+            live = args.mode == "batch_live"
+            names = (("batch_base_live", "batch_double_live") if live
+                     else ("batch_base", "batch_double"))
+            base_ap, base_t = run_one(cfg_base, store, cache=not live,
                                       weights=ckpt)
             cfg_dbl = build_cfg(root, cfg_var.OUTPUT_DIR,
                                 args.iters // 2,
@@ -259,7 +265,7 @@ def main(argv=None):
             cfg_dbl.SEED = cfg_var.SEED
             cfg_dbl.SOLVER.WARMUP_ITERS = \
                 cfg_base.SOLVER.WARMUP_ITERS // 2
-            var_ap, var_t = run_one(cfg_dbl, store, cache=True,
+            var_ap, var_t = run_one(cfg_dbl, store, cache=not live,
                                     weights=ckpt)
         return names, pre_ap, base_ap, var_ap, base_t, var_t
 
