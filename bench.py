@@ -320,5 +320,54 @@ def main():
     }))
 
 
+def _backend_alive(budget_s: float) -> bool:
+    """Probe TPU backend readiness in a SUBPROCESS (a failed axon init
+    can wedge the parent's jax state), retrying with backoff up to
+    budget_s. The remote-TPU relay has observed outages where
+    jax.devices() itself hangs (round-3 notes); without this guard a
+    bench run sits in backend setup forever and the driver records
+    nothing."""
+    import subprocess
+    import sys
+    probe = ("import jax; d = jax.devices(); "
+             "import jax.numpy as jnp; "
+             "x = jnp.ones((8, 8)); (x @ x).block_until_ready(); "
+             "print('OK')")
+    deadline = time.time() + budget_s
+    delay = 30.0
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180,
+                               text=True)
+            if "OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() + delay > deadline:
+            return False
+        time.sleep(delay)
+        delay = min(delay * 2, 240.0)
+
+
 if __name__ == "__main__":
-    main()
+    budget = float(os.environ.get("COIN_BENCH_BACKEND_WAIT", "900"))
+    if _backend_alive(budget):
+        main()
+    else:
+        # Honest failure record: value 0 (we measured nothing), the
+        # cause, and a clearly-labeled pointer to the last clean
+        # committed measurement (BENCH.md round-2 table) — NOT a stale
+        # number masquerading as this run's result.
+        print(json.dumps({
+            "metric": "adaptation_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/s/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unavailable (remote relay outage; "
+                     "jax.devices() hangs / UNAVAILABLE at setup) — "
+                     f"retried for {budget:.0f}s",
+            "last_clean_measurement": {
+                "value": 15.42, "vs_baseline": 2.06,
+                "source": "BENCH.md round-2 final (quiet chip)"},
+        }))
