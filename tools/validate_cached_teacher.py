@@ -280,16 +280,33 @@ def main(argv=None):
                     if r["seed"] < args.seed_start]
         print(f"[resume] merged {len(per_seed)} prior seeds from "
               f"{args.resume_from}")
+    def last_k_mean(ap, k=3):
+        """Secondary endpoint (pre-registered for round-3+ seeds): mean
+        AP50 over the last k evals — a single final eval on this tiny
+        fixture swings tens of AP in the last 100 iters (the cache A/B's
+        seed-0 collapse, the budget A/B's seed-4 flip), so a smoothed
+        endpoint separates knob effects from late-fixture noise. The
+        PRIMARY endpoint/verdict stays the final eval for comparability
+        with earlier campaigns."""
+        if not ap:
+            return None
+        vals = [ap[k2] for k2 in sorted(ap, key=int)[-k:]]
+        return float(sum(vals) / len(vals))
+
     for s in range(args.seed_start, args.seeds):
         names, pre_ap, base_ap, var_ap, base_t, var_t = run_seed(s)
         fb = base_ap[max(base_ap, key=int)] if base_ap else None
         fv = var_ap[max(var_ap, key=int)] if var_ap else None
+        ab, av = last_k_mean(base_ap), last_k_mean(var_ap)
         excluded = pre_ap < EXCLUDE_PRETRAIN_AP_BELOW
         per_seed.append({
             "seed": s, "pretrain_ap50": pre_ap, "excluded": excluded,
             f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
             "final_base": fb, "final_var": fv,
             "delta": (fv - fb) if fb is not None and fv is not None
+            else None,
+            "avg3_base": ab, "avg3_var": av,
+            "delta_avg3": (av - ab) if ab is not None and av is not None
             else None,
             f"{names[0]}_seconds": base_t, f"{names[1]}_seconds": var_t,
         })
@@ -312,6 +329,15 @@ def main(argv=None):
     half = (_T95.get(n - 1, 1.96) * sd / math.sqrt(n)
             if n > 1 else None)
     ci = ([mean - half, mean + half] if half is not None else None)
+
+    # secondary (smoothed) endpoint over seeds that carry it
+    d3 = [r["delta_avg3"] for r in used if r.get("delta_avg3") is not None]
+    n3 = len(d3)
+    mean3 = float(np.mean(d3)) if n3 else None
+    sd3 = float(np.std(d3, ddof=1)) if n3 > 1 else None
+    half3 = (_T95.get(n3 - 1, 1.96) * sd3 / math.sqrt(n3)
+             if n3 > 1 else None)
+    ci3 = ([mean3 - half3, mean3 + half3] if half3 is not None else None)
     report = {
         "mode": args.mode, "iters": args.iters,
         "pretrain_iters": args.pre_iters, "images": args.images,
@@ -321,6 +347,12 @@ def main(argv=None):
         "n_functional": n,
         "excluded_seeds": [r["seed"] for r in per_seed if r["excluded"]],
         "delta_mean": mean, "delta_sd": sd, "delta_ci95": ci,
+        "delta_avg3_mean": mean3, "delta_avg3_sd": sd3,
+        "delta_avg3_ci95": ci3, "n_avg3": n3,
+        "avg3_note": "secondary endpoint: mean AP50 of the last 3 evals "
+                     "per arm (pre-registered round 3; older resumed "
+                     "seeds lack it). Verdict is still the primary "
+                     "final-eval rule.",
         "final_base_mean": float(np.mean([r["final_base"]
                                           for r in used])) if n else None,
         "final_var_mean": float(np.mean([r["final_var"]
