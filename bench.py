@@ -154,8 +154,14 @@ def main():
     proto0 = jnp.asarray(rng0.randn(num_classes + 1, 1024), jnp.float32)
     protos = Prototypes(proto0, proto0, proto0)
 
-    tx = optax.sgd(1e-3, momentum=0.9)
-    merge_tx = optax.sgd(1e-3, momentum=0.9)
+    # LR: tiny but NONZERO. All variants share ONE TrainState (HBM: six
+    # resident states + six executables exceeded device memory —
+    # RESOURCE_EXHAUSTED, round 3), so ~50 optimizer steps accumulate on
+    # it; 1e-5 keeps params sane across that. Zero LR would be wrong: XLA
+    # could fold the update away and DCE the backward pass, faking the
+    # timing. The LR value itself does not change the program structure.
+    tx = optax.sgd(1e-5, momentum=0.9)
+    merge_tx = optax.sgd(1e-5, momentum=0.9)
 
     def fresh_state():
         return TrainState(
@@ -188,18 +194,22 @@ def main():
 
     live_parity, cached_parity = build(pcfg, pcfg)
     live_t512, _ = build(pcfg, pcfg_t512)
-    live_fasthead, _ = build(pcfg, pcfg_fast)
-    _, cached_r256 = build(pcfg_r256, pcfg)
 
-    # variant: (step_fn, needs_offline, batch)
+    # variant: (step_fn, needs_offline, batch). Default set = the four
+    # programs the recipes actually use; COIN_BENCH_ALL=1 adds the two
+    # failed-A/B documentation flavors (their round-2 numbers stand in
+    # BENCH.md). Six resident executables + states OOM'd the chip.
     variants = {
         "live": (live_parity, False, b),
         "cached": (cached_parity, True, b),
-        "live_fast": (live_fasthead, False, b),
-        "cached_r256": (cached_r256, True, b),
         "live_t512": (live_t512, False, b),
         "cached_b6": (cached_parity, True, B6),
     }
+    if os.environ.get("COIN_BENCH_ALL") == "1":
+        live_fasthead, _ = build(pcfg, pcfg_fast)
+        _, cached_r256 = build(pcfg_r256, pcfg)
+        variants["live_fast"] = (live_fasthead, False, b)
+        variants["cached_r256"] = (cached_r256, True, b)
 
     def var_args(name):
         fn, needs_off, bsz = variants[name]
@@ -248,16 +258,21 @@ def main():
     # that would otherwise poison whichever variant happens to measure
     # inside one (observed both orders in round 3); min over rounds
     # separated in time escapes a single bad window.
-    states, best, best_sync = {}, {}, {}
+    #
+    # ONE TrainState shared by every variant (state is batch-size-
+    # independent): per-variant states OOM'd the 16 GB HBM next to the
+    # resident executables. Timing is unaffected — each variant's
+    # program is fixed; only the values evolve (LR 1e-5 keeps them sane
+    # across the mixed stepping; losses stay assert-finite).
+    best, best_sync = {}, {}
+    state = fresh_state()
     for name in variants:
-        st = fresh_state()
-        st, _ = run_block(name, st, 1)   # compile/warm
-        states[name] = st
+        state, _ = run_block(name, state, 1)   # compile/warm
     for _ in range(3):
         for name in variants:
-            states[name], dt = run_block(name, states[name], 3)
+            state, dt = run_block(name, state, 3)
             best_sync[name] = min(best_sync.get(name, float("inf")), dt)
-            states[name], dt = run_chain(name, states[name], 8)
+            state, dt = run_chain(name, state, 8)
             best[name] = min(best.get(name, float("inf")), dt)
     for name, dt in best.items():
         assert dt > 0.005, f"{name}: implausible step time {dt*1e3:.1f} ms"
@@ -308,9 +323,11 @@ def main():
         "live_step": round(rate["live"], 3),
         "cached_teacher_step": round(rate["cached"], 3),
         "cached_teacher_step_b6": round(rate["cached_b6"], 3),
-        "live_fast_head_step": round(rate["live_fast"], 3),
-        "cached_roi256_step": round(rate["cached_r256"], 3),
         "live_t512_step": round(rate["live_t512"], 3),
+        # failed-A/B documentation flavors, only under COIN_BENCH_ALL=1
+        **({"live_fast_head_step": round(rate["live_fast"], 3),
+            "cached_roi256_step": round(rate["cached_r256"], 3)}
+           if "live_fast" in rate else {}),
         "timing": "async dependency-chained (production dispatch mode; "
                   "tail device_get forces real execution)",
         "live_step_synced": round(b / best_sync["live"], 3),
