@@ -100,6 +100,10 @@ def default_config() -> CfgNode:
             "META_ARCHITECTURE": "OpenVocabularyRCNN",
             "WEIGHTS": "",
             "RESNETS": {"DEPTH": 50},
+            # detectron2 default: freeze stem + layer1 (utils.py:243-283;
+            # the reference never overrides it, so stem/res2 are frozen
+            # in every reference run even with CLOUD.UPDATE_BACKBONE)
+            "BACKBONE": {"FREEZE_AT": 2},
             "MERGE": "CKGNet",
             "MERGE_DIM": 1024,
             "ANCHOR_GENERATOR": {

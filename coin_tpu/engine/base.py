@@ -173,7 +173,9 @@ class DetectorTrainerBase:
     def split_params(self, variables):
         return partition_params(
             variables,
-            default_freeze_predicate(self.cfg.CLOUD.UPDATE_BACKBONE))
+            default_freeze_predicate(
+                self.cfg.CLOUD.UPDATE_BACKBONE,
+                freeze_at=self.cfg.MODEL.BACKBONE.FREEZE_AT))
 
     def build_optimizer(self, params):
         return build_optimizer(params, self.cfg)

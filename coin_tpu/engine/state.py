@@ -44,11 +44,24 @@ def merge_params(params: Dict, frozen: Dict) -> Dict:
     return {"params": traverse_util.unflatten_dict(flat)}
 
 
-def default_freeze_predicate(update_backbone: bool = True
+def default_freeze_predicate(update_backbone: bool = True,
+                             freeze_at: int = 2
                              ) -> Callable[[str], bool]:
-    """Freeze policy of the reference (clip_backbone.py:203-234 +
-    clip_text.py freeze_encoder): text trunk always frozen; every FrozenBN
-    leaf frozen; backbone stem/layer1-3 frozen unless UPDATE_BACKBONE."""
+    """Freeze policy of the reference: text trunk always frozen
+    (clip_text.py freeze_encoder); every FrozenBN leaf frozen; and the
+    detectron2 stage freeze — the CLIP ResNet is BUILT with
+    ``MODEL.BACKBONE.FREEZE_AT`` (detectron2 default **2**: stem AND
+    layer1 permanently frozen; coin/modeling/utils.py:243-283 freeze(),
+    clip_backbone.py:191; no shipped reference config overrides it), so
+    the stem/res2 never train in ANY reference run. UPDATE_BACKBONE
+    only controls the REST of the backbone (clip_backbone.py:177
+    freeze_backbone freezes everything but layer4 when False).
+
+    Freezing the stem also stops the backward pass at layer2's input —
+    the round-3 trace showed stem weight-gradients alone cost ~11% of
+    the cached adaptation step (pathological small-channel wgrad
+    emitters), all of it work the reference never does.
+    """
 
     def pred(path: str) -> bool:
         p = path.lower()
@@ -56,8 +69,15 @@ def default_freeze_predicate(update_backbone: bool = True
             return True
         if "/bn" in p or p.startswith("bn") or "downsample_bn" in p:
             return True
-        if not update_backbone and "backbone/" in p and "layer4" not in p:
-            return True
+        if "backbone/" in p:
+            if freeze_at >= 1 and "layer" not in p:
+                return True  # stem conv1-3 (+ their bns, caught above)
+            for idx, stage in enumerate(
+                    ("layer1/", "layer2/", "layer3/"), start=2):
+                if freeze_at >= idx and stage in p:
+                    return True
+            if not update_backbone and "layer4" not in p:
+                return True
         return False
 
     return pred

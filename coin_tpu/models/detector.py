@@ -90,15 +90,26 @@ class OpenVocabularyRCNN(nn.Module):
         """RoIAlign(res4, stride 16) → res5 → pooled region features.
 
         feats (B, h, w, C); boxes (B, N, 4) image coords → (B, N, D).
+
+        res5 runs on the EXPLICITLY collapsed (B·N, r, r, C) crop batch
+        rather than under vmap: the math is identical (res5 has no
+        cross-batch ops — FrozenBN is affine), but the vmap formulation
+        made XLA materialize a physical layout copy of the full crop
+        tensor at the implicit collapse (0.7 GB/step at production
+        shapes; round-3 trace).
         """
         def single(f, b):
-            x = roi_align(f, b, 1.0 / 16.0, resolution=resolution,
-                          sampling_ratio=2)
-            x = self.res5(x)      # (N, r/2, r/2, 2048)
-            if self.pooling == "attnpool":
-                return self.attnpool(x)
-            return jnp.mean(x, axis=(1, 2))
-        return jax.vmap(single)(feats, boxes)
+            return roi_align(f, b, 1.0 / 16.0, resolution=resolution,
+                             sampling_ratio=2)
+        x = jax.vmap(single)(feats, boxes)          # (B, N, r, r, C)
+        bsz, n = x.shape[0], x.shape[1]
+        x = x.reshape((bsz * n,) + x.shape[2:])
+        x = self.res5(x)                            # (B·N, r/2, r/2, 2048)
+        if self.pooling == "attnpool":
+            pooled = self.attnpool(x)
+        else:
+            pooled = jnp.mean(x, axis=(1, 2))
+        return pooled.reshape(bsz, n, -1)
 
     def pool_boxes_fast(self, feats: jnp.ndarray, boxes: jnp.ndarray,
                         resolution: int = 7) -> jnp.ndarray:

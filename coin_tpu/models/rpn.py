@@ -81,6 +81,18 @@ def label_anchors_single(anchors: jnp.ndarray, gt_a: Detections,
                                   (0, -1, 1), allow_low_quality=True)
 
     na = gt_a.capacity
+
+    def _take_small(table, idx):
+        """table[idx] for a LARGE idx (one row per anchor) and a tiny
+        table: an exact one-hot matmul. jnp.take at this shape lowers to
+        a TPU gather custom-call (~ms per head per step — measured in
+        the round-3 trace); the one-hot contraction rides the MXU and is
+        bit-exact (each output row is a single product with 1.0)."""
+        oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+        t2 = table[:, None] if table.ndim == 1 else table
+        out = oh @ t2.astype(jnp.float32)
+        return out[:, 0] if table.ndim == 1 else out
+
     if gt_c is not None:
         is_c = matched_idx >= na
         fg_c = is_c & (labels != 0)
@@ -88,8 +100,9 @@ def label_anchors_single(anchors: jnp.ndarray, gt_a: Detections,
         # distillation: soft objectness = Σ fg probs of the matched C box
         c_fg_prob = jnp.sum(gt_c.probs[:, :-1], axis=-1)
         t_probs = jnp.where(fg_c,
-                            jnp.take(c_fg_prob,
-                                     jnp.clip(matched_idx - na, 0, None)),
+                            _take_small(c_fg_prob,
+                                        jnp.clip(matched_idx - na, 0,
+                                                 None)),
                             0.0)
         distill = fg_c
         matched_idx = jnp.where(is_c, 0, matched_idx)
@@ -111,8 +124,8 @@ def label_anchors_single(anchors: jnp.ndarray, gt_a: Detections,
     pos, neg = M.subsample_labels(labels, batch_size, positive_fraction, rng)
     labels = jnp.where(pos, jnp.int8(1),
                        jnp.where(neg, jnp.int8(0), jnp.int8(-1)))
-    matched_boxes = jnp.take(gt_a.boxes, jnp.clip(matched_idx, 0, na - 1),
-                             axis=0)
+    matched_boxes = _take_small(gt_a.boxes,
+                                jnp.clip(matched_idx, 0, na - 1))
     return RPNTargets(labels, matched_boxes, distill, t_probs)
 
 
