@@ -49,27 +49,39 @@ def _grayscale(img):
     return jnp.broadcast_to(g, img.shape)
 
 
+def _band_matrix(size: int, k: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(size, size) banded matrix B[i, j] = k[j - i + radius] (zero
+    outside the band) — the separable blur as a dense MXU contraction.
+    Identical to a zero-padded depthwise conv with kernel ``k``."""
+    d = (jnp.arange(size)[None, :] - jnp.arange(size)[:, None]) + radius
+    taps = k.shape[0]
+    band = jnp.zeros((size, size), jnp.float32)
+    for t in range(taps):
+        band = band + jnp.where(d == t, k[t], 0.0)
+    return band
+
+
 def _gaussian_blur(img, key):
+    """Separable Gaussian blur as two banded-matrix contractions.
+
+    A depthwise conv at C=3 starves the MXU (3 of 128 lanes) — the
+    round-3 trace showed the blur convs dominating the augmentation
+    scope. The (H,H)@(H,W·C) banded form is the same math (zero-padded,
+    bit-matching the previous grouped-conv version) at MXU-friendly
+    shapes — the identical trick ops/preprocess.resize_bilinear uses.
+    """
     sigma = jax.random.uniform(key, (), minval=0.1, maxval=2.0)
     radius = 4  # static kernel, covers sigma<=2 well
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
     k = k / jnp.sum(k)
-    # separable depthwise blur via two grouped convs
-    x4 = img[None]  # (1, H, W, 3)
-    kh = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, 3))  # (K,1,1,3)
-    kw = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, 3))
-    dn = jax.lax.conv_dimension_numbers(x4.shape, kh.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    x4 = jax.lax.conv_general_dilated(x4, kh, (1, 1),
-                                      [(radius, radius), (0, 0)],
-                                      dimension_numbers=dn,
-                                      feature_group_count=3)
-    x4 = jax.lax.conv_general_dilated(x4, kw, (1, 1),
-                                      [(0, 0), (radius, radius)],
-                                      dimension_numbers=dn,
-                                      feature_group_count=3)
-    return x4[0]
+    h, w, _ = img.shape
+    by = _band_matrix(h, k, radius)                    # (H, H)
+    bx = _band_matrix(w, k, radius)                    # (W, W)
+    out = jnp.einsum("yh,hwc->ywc", by, img,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("ywc,xw->yxc", out, bx,
+                      preferred_element_type=jnp.float32)
 
 
 def _solarize(img, threshold=0.5):

@@ -50,25 +50,45 @@ def main(argv=None):
     std = jnp.asarray([0.268, 0.261, 0.275], jnp.float32)
 
     fns = {
-        "pallas": jax.jit(lambda im, f: normalize_flip(
-            im, f, mean, std, use_pallas=True)),
-        "jnp": jax.jit(lambda im, f: normalize_flip(
-            im, f, mean, std, use_pallas=False)),
+        "pallas": lambda im, f: normalize_flip(
+            im, f, mean, std, use_pallas=True),
+        "jnp": lambda im, f: normalize_flip(
+            im, f, mean, std, use_pallas=False),
     }
+
+    # device-loop timing (BENCH.md "Microbenchmark methodology"): one
+    # dispatch covers `iters` dependent executions — per-dispatch relay
+    # latency would swamp a ~ms op, readiness events can be faked, and
+    # a full-reduction feedback (runtime-zero, unfoldable) prevents
+    # hoisting/narrowing.
+    def timed(fn):
+        iters = args.iters
+
+        @jax.jit
+        def loop(im, f):
+            def body(i, im):
+                y = fn(im, f)
+                s = jnp.sum(y)
+                return im + (s * 1e-30).astype(im.dtype)
+            return jax.lax.fori_loop(0, iters, body, im)
+
+        def run():
+            return float(np.asarray(loop(images, flip).ravel()[0]))
+
+        run()  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
 
     res = {}
     for name, fn in fns.items():
-        out = fn(images, flip)
-        jax.block_until_ready(out)
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(images, flip))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
-        # numerics must agree bitwise-ish between backends
+        dt = timed(fn)
+        out_bytes = b * h * w * 3 * 4
         res[name] = {"ms": round(dt * 1e3, 3),
-                     "gbps": round(out.nbytes * (1 + 0.25) / dt / 1e9, 1)}
+                     "gbps": round(out_bytes * (1 + 0.25) / dt / 1e9, 1)}
     a = fns["pallas"](images, flip)
     bj = fns["jnp"](images, flip)
     max_diff = float(jnp.max(jnp.abs(a - bj)))
