@@ -59,65 +59,23 @@ def resize_bilinear(image: jnp.ndarray, scale: jnp.ndarray,
 
 
 # ------------------------------------------------------------------ #
-# fused normalize + flip (Pallas)
+# fused normalize + flip
 # ------------------------------------------------------------------ #
-def _norm_flip_kernel(img_ref, flip_ref, mean_ref, std_ref, out_ref):
-    x = img_ref[...].astype(jnp.float32) / 255.0
-    flipped = x[:, ::-1, :]
-    x = jnp.where(flip_ref[0] > 0, flipped, x)
-    out_ref[...] = (x - mean_ref[...]) / std_ref[...]
-
-
-def normalize_flip_pallas(images_u8: jnp.ndarray, flip: jnp.ndarray,
-                          mean: jnp.ndarray, std: jnp.ndarray,
-                          interpret: bool = False) -> jnp.ndarray:
-    """(B, H, W, 3) uint8 + (B,) flip flags → normalized float32, single
-    fused HBM pass per image. ``interpret=True`` runs the kernel in the
-    Pallas interpreter (CI coverage off-TPU)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, h, w, c = images_u8.shape
-    rows = 32  # row-block: flip is horizontal, so row tiling is safe
-    pad = (-h) % rows
-    hp = h + pad
-    mean3 = jnp.broadcast_to(mean.reshape(1, 1, 3), (rows, w, 3))
-    std3 = jnp.broadcast_to(std.reshape(1, 1, 3), (rows, w, 3))
-
-    def single(img, f):
-        img = jnp.pad(img, ((0, pad), (0, 0), (0, 0)))
-        out = pl.pallas_call(
-            _norm_flip_kernel,
-            grid=(hp // rows,),
-            out_shape=jax.ShapeDtypeStruct((hp, w, c), jnp.float32),
-            in_specs=[pl.BlockSpec((rows, w, c), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec((rows, w, c), lambda i: (0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((rows, w, c), lambda i: (0, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((rows, w, c), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(img, f.astype(jnp.int32).reshape(1), mean3, std3)
-        return out[:h]
-
-    return jax.vmap(single)(images_u8, flip)
-
-
 def normalize_flip(images_u8: jnp.ndarray, flip: jnp.ndarray,
                    mean: jnp.ndarray, std: jnp.ndarray,
                    use_pallas: bool = None) -> jnp.ndarray:
-    """Dispatcher: Pallas on TPU, jnp elsewhere.
+    """(B, H, W, 3) uint8 + (B,) flip flags → normalized float32.
 
-    No silent fallback on TPU: a broken kernel must fail the run (the
-    jnp path below is numerically identical, so a silent swap would be
-    invisible — it would only show up as lost fusion/perf)."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        return normalize_flip_pallas(images_u8, flip, mean, std)
+    Plain jnp by design — a Pallas version was built, debugged onto the
+    real chip in round 3, and DELETED with measurements (BENCH.md
+    "Pallas preprocess"): Mosaic lacks u8→f32 casts and the `rev`
+    primitive (the flip), a vmapped SMEM scalar does not lower, and the
+    in-step XLA fusion already runs this stage at 0.5 ms/step (0.4% of
+    the cached step) — there is nothing material to win. The
+    ``use_pallas`` parameter is kept (ignored) for call-site
+    compatibility.
+    """
+    del use_pallas
     img = images_u8.astype(jnp.float32) / 255.0
     img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
     return (img - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)

@@ -1,17 +1,16 @@
 #!/usr/bin/env python
-"""Measure the Pallas fused normalize+flip kernel against the plain jnp
-path on-chip (VERDICT r2 item 9): a "Pallas-native" framework should
-know whether its one Pallas kernel beats XLA fusion, and by how much.
+"""Measure the normalize+flip preprocessing stage on-chip (VERDICT r2
+item 9 resolution).
 
-Times three variants at production preprocessing shapes (batch, 608,
-1216, 3 uint8 -> two normalized float views):
+The Pallas variant of this op was DELETED in round 3 after being
+debugged onto the real chip: Mosaic lacks u8->f32 casts and the `rev`
+primitive, a vmapped SMEM scalar does not lower at all, and the
+production step already XLA-fuses this stage to 0.5 ms/step (0.4% of
+the cached step) — full story in BENCH.md "Pallas preprocess". This
+tool times the surviving jnp path (device-loop methodology) so the
+number stays reproducible.
 
-  pallas — ops/preprocess.normalize_flip_pallas (fused HBM pass)
-  jnp    — the dispatcher's jnp fallback (XLA-fused elementwise)
-  batch  — data/augment.preprocess_batch (the production entry: strong
-           + weak view, photometric aug) with each backend
-
-  python tools/bench_preprocess.py [--batch 3] [--iters 50]
+  python tools/bench_preprocess.py [--batch 3] [--iters 30]
 """
 
 from __future__ import annotations
@@ -50,10 +49,7 @@ def main(argv=None):
     std = jnp.asarray([0.268, 0.261, 0.275], jnp.float32)
 
     fns = {
-        "pallas": lambda im, f: normalize_flip(
-            im, f, mean, std, use_pallas=True),
-        "jnp": lambda im, f: normalize_flip(
-            im, f, mean, std, use_pallas=False),
+        "jnp": lambda im, f: normalize_flip(im, f, mean, std),
     }
 
     # device-loop timing (BENCH.md "Microbenchmark methodology"): one
@@ -89,15 +85,11 @@ def main(argv=None):
         out_bytes = b * h * w * 3 * 4
         res[name] = {"ms": round(dt * 1e3, 3),
                      "gbps": round(out_bytes * (1 + 0.25) / dt / 1e9, 1)}
-    a = fns["pallas"](images, flip)
-    bj = fns["jnp"](images, flip)
-    max_diff = float(jnp.max(jnp.abs(a - bj)))
     report = {
         "shape": [b, h, w, 3],
-        "pallas_ms": res["pallas"]["ms"],
         "jnp_ms": res["jnp"]["ms"],
-        "speedup": round(res["jnp"]["ms"] / res["pallas"]["ms"], 3),
-        "max_abs_diff": max_diff,
+        "jnp_gbps": res["jnp"]["gbps"],
+        "note": "pallas variant deleted round 3 (BENCH.md)",
     }
     print(json.dumps(report))
     if args.out:
