@@ -210,6 +210,14 @@ def main():
         _, cached_r256 = build(pcfg_r256, pcfg)
         variants["live_fast"] = (live_fasthead, False, b)
         variants["cached_r256"] = (cached_r256, True, b)
+    if os.environ.get("COIN_BENCH_REFRESH") == "1":
+        # step_two teacher-refresh lever (TPU.TEACHER_REFRESH_EPOCHS):
+        # cached predictions + exact EMA trajectory. Headroom
+        # documentation only — unvalidated approximation (BENCH.md).
+        _, _, cached_two = build_adaptation_steps(
+            model, merge_model, tx, merge_tx, tokens, pcfg, pcfg_t512,
+            hyper, with_cached_two=True)
+        variants["cached_two"] = (cached_two, True, b)
 
     def var_args(name):
         fn, needs_off, bsz = variants[name]
@@ -328,6 +336,9 @@ def main():
         **({"live_fast_head_step": round(rate["live_fast"], 3),
             "cached_roi256_step": round(rate["cached_r256"], 3)}
            if "live_fast" in rate else {}),
+        # teacher-refresh headroom flavor, only under COIN_BENCH_REFRESH=1
+        **({"cached_two_step": round(rate["cached_two"], 3)}
+           if "cached_two" in rate else {}),
         "timing": "async dependency-chained (production dispatch mode; "
                   "tail device_get forces real execution)",
         "live_step_synced": round(b / best_sync["live"], 3),

@@ -243,6 +243,14 @@ def default_config() -> CfgNode:
             "CAP_TEACHER": 128,               # cached/teacher dets per image
             "CAP_A": 64, "CAP_B": 32, "CAP_C": 64,
             "MESH": {"DATA": -1},             # -1 = all devices on data axis
+            # serving: dynamic-int8 convs at inference (Int8Conv); training
+            # numerics are never affected. Measure with tools/bench_serving.
+            "INT8_INFERENCE": False,
+            # step_two teacher-refresh period in epochs (0 = off = exact
+            # parity): predictions from a batched collection pass every N
+            # epochs instead of a per-step teacher tower. UNVALIDATED
+            # staleness approximation — never in a shipped recipe.
+            "TEACHER_REFRESH_EPOCHS": 0,
         },
     })
 

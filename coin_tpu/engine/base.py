@@ -192,6 +192,12 @@ class DetectorTrainerBase:
         save_pkl = (os.path.join(self.cfg.OUTPUT_DIR, "detections.pckl")
                     if self.cfg.get_path("TEST.SAVE_DETECTION_PKLS", False)
                     else None)
-        return evaluate_detector(self.model, variables, loader,
+        # serving-path knob: dynamic-int8 convs at inference only (the
+        # same trained variables load unchanged — Int8Conv quantizes on
+        # the fly). Never affects training numerics.
+        model = (self.model.clone(quant_convs=True)
+                 if self.cfg.get_path("TPU.INT8_INFERENCE", False)
+                 else self.model)
+        return evaluate_detector(model, variables, loader,
                                  self.class_tokens, self.pcfg,
                                  save_pkl=save_pkl)

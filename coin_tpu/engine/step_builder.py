@@ -16,7 +16,7 @@ coin/engine/trainer.py:160-218):
   complete loss stack → CKG merge update (second-order gradient
   alignment via jax.grad) → prototype EMA.
 
-Two flavors share one ``step_body``:
+Three flavors share one ``step_body``:
   - ``train_step``        — live teacher tower every step (exact
                             reference parity; the step_two phase).
   - ``train_step_cached`` — the teacher's per-image predictions served
@@ -24,6 +24,12 @@ Two flavors share one ``step_body``:
     the teacher is FROZEN until burn-up (trainer.py:169-172) — the
     reference recomputes this identical forward for all 45k step_one
     iterations.
+  - ``train_step_cached_two`` (opt-in) — step_two semantics with cached
+    teacher predictions: the EMA teacher keeps its exact-parity weight
+    trajectory, but its PREDICTIONS are refreshed only every
+    TPU.TEACHER_REFRESH_EPOCHS epochs by a batched collection pass
+    (trainer.refresh loop) instead of per-step. A staleness
+    approximation — off by default, never in a validated recipe.
 """
 
 from __future__ import annotations
@@ -60,9 +66,10 @@ class StepHyper:
 
 def build_adaptation_steps(model, merge_model, tx, merge_tx, tokens,
                            pcfg, teacher_pcfg, hyper: StepHyper,
-                           donate_default: bool = True
-                           ) -> Tuple[Callable, Callable]:
-    """Returns ``(train_step, train_step_cached)`` over a TrainState.
+                           donate_default: bool = True,
+                           with_cached_two: bool = False):
+    """Returns ``(train_step, train_step_cached)`` over a TrainState —
+    plus ``train_step_cached_two`` when ``with_cached_two``.
 
     ``train_step(state, images_u8, image_hw, flip, online_rcnn,
     online_rpn) -> (state, losses)`` and ``train_step_cached(state, ...,
@@ -203,7 +210,33 @@ def build_adaptation_steps(model, merge_model, tx, merge_tx, tokens,
                          online_rpn, offline, state.teacher_params,
                          rng, rng_fwd, step, jnp.asarray(False))
 
-    return train_step, train_step_cached
+    if not with_cached_two:
+        return train_step, train_step_cached
+
+    @partial(jit_train_step, donate_default=donate_default)
+    def train_step_cached_two(state: TrainState, images_u8, image_hw,
+                              flip, online_rcnn, online_rpn, offline):
+        """step_two with STALE teacher predictions (the refresh lever,
+        TPU.TEACHER_REFRESH_EPOCHS): the EMA teacher-weight trajectory is
+        exact parity — only the predictions come from the trainer's
+        periodic collection pass instead of a per-step forward. The
+        staleness (≤ refresh period) is the approximation; everything
+        else (WEIGHT_FOR_BOX_A=0.5, merge/prototype gating, losses)
+        follows the live step_two branch."""
+        step = state.step
+        step_two = step >= h.burn_up
+        rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
+        strong, _ = preprocess_batch(images_u8, flip, rng_aug)
+        do_ema = step_two & ((step - h.burn_up) % h.ema_every == 0)
+        teacher = jax.tree.map(
+            lambda t, s: jnp.where(
+                do_ema, t * h.ema_rate + s * (1.0 - h.ema_rate), t),
+            state.teacher_params, state.params)
+        return step_body(state, strong, image_hw, online_rcnn,
+                         online_rpn, offline, teacher, rng, rng_fwd,
+                         step, step_two)
+
+    return train_step, train_step_cached, train_step_cached_two
 
 
 def hyper_from_cfg(cfg) -> StepHyper:

@@ -123,9 +123,14 @@ class CoinTrainer(DetectorTrainerBase):
                                                   hyper_from_cfg)
         hyper = dataclasses.replace(hyper_from_cfg(self.cfg),
                                     loss_weights=self.loss_weights)
-        return build_adaptation_steps(
+        self._refresh_epochs = self.cfg.get_path(
+            "TPU.TEACHER_REFRESH_EPOCHS", 0)
+        steps = build_adaptation_steps(
             self.model, self.merge_model, self.tx, self.merge_tx,
-            self.class_tokens, self.pcfg, self.teacher_pcfg, hyper)
+            self.class_tokens, self.pcfg, self.teacher_pcfg, hyper,
+            with_cached_two=bool(self._refresh_epochs))
+        self._train_step_cached_two = steps[2] if len(steps) > 2 else None
+        return steps[0], steps[1]
 
     # ------------------------------------------------------------- #
     def collect_teacher_store(self):
@@ -188,6 +193,17 @@ class CoinTrainer(DetectorTrainerBase):
                      and burn_up - start >= min_steps)
         if use_cache and self.teacher_store is None:
             self.teacher_store = self.collect_teacher_store()
+        # step_two teacher-refresh lever (TPU.TEACHER_REFRESH_EPOCHS = N):
+        # instead of a per-step teacher tower, refresh the whole
+        # prediction store with a batched collection pass every N epochs
+        # (teacher weights keep their exact EMA trajectory; only the
+        # predictions go stale). 0 = off = reference parity. An
+        # UNVALIDATED approximation — never in a shipped recipe; re-test
+        # on real data (the synthetic fixture cannot adjudicate it).
+        refresh_steps = self._refresh_epochs * max(
+            len(self.train_loader.records)
+            // cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 1)
+        last_refresh = None
         for i in range(start, max_iter):
             batch = next(it)
             arrays = self.shard_batch((
@@ -199,6 +215,15 @@ class CoinTrainer(DetectorTrainerBase):
                 offline = online_view_to_detections(
                     self._pack_offline(batch))
                 self.state, losses = self._train_step_cached(
+                    self.state, *arrays, offline)
+            elif refresh_steps and i >= burn_up:
+                if last_refresh is None \
+                        or i - last_refresh >= refresh_steps:
+                    self.teacher_store = self.collect_teacher_store()
+                    last_refresh = i
+                offline = online_view_to_detections(
+                    self._pack_offline(batch))
+                self.state, losses = self._train_step_cached_two(
                     self.state, *arrays, offline)
             else:
                 self.state, losses = self._train_step(self.state,

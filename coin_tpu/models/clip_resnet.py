@@ -59,7 +59,44 @@ class FrozenBN(nn.Module):
         return x * mul + add
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+class Int8Conv(nn.Module):
+    """Dynamic-int8 convolution for the inference/serving path.
+
+    Per-output-channel symmetric int8 weights + per-tensor dynamic
+    symmetric int8 activations, int32 MXU accumulation. The v5e int8 MXU
+    runs the hot conv shapes at ~1.8x the bf16 rate (tools/bench_int8.py,
+    BENCH.md) — a pure serving-throughput lever; training always uses the
+    bf16/f32 path. Parameter name ('kernel'), shape (HWIO) and init match
+    nn.Conv exactly, so trained checkpoints load unchanged.
+    """
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features))
+        ks = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.round(w / ks).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        out = jax.lax.conv_general_dilated(
+            xq, wq, (self.stride, self.stride),
+            [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return (out.astype(jnp.float32) * (xs * ks)).astype(self.dtype)
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
+          quant=False):
+    if quant:
+        return Int8Conv(features, kernel, stride, name=name,
+                        dtype=dtype)
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
                    name=name, dtype=dtype)
@@ -76,24 +113,28 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        out = _conv(self.planes, 1, name="conv1", dtype=self.dtype)(x)
+        out = _conv(self.planes, 1, name="conv1", dtype=self.dtype,
+                    quant=self.quant)(x)
         out = nn.relu(FrozenBN(self.planes, name="bn1",
                                dtype=self.dtype)(out))
-        out = _conv(self.planes, 3, name="conv2", dtype=self.dtype)(out)
+        out = _conv(self.planes, 3, name="conv2", dtype=self.dtype,
+                    quant=self.quant)(out)
         out = nn.relu(FrozenBN(self.planes, name="bn2",
                                dtype=self.dtype)(out))
         if self.stride > 1:
             out = _avgpool2(out, self.stride)
-        out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype)(out)
+        out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype,
+                    quant=self.quant)(out)
         out = FrozenBN(self.planes * 4, name="bn3", dtype=self.dtype)(out)
 
         if self.stride > 1 or x.shape[-1] != self.planes * 4:
             identity = _avgpool2(x, self.stride) if self.stride > 1 else x
             identity = _conv(self.planes * 4, 1, name="downsample_conv",
-                             dtype=self.dtype)(identity)
+                             dtype=self.dtype, quant=self.quant)(identity)
             identity = FrozenBN(self.planes * 4, name="downsample_bn",
                                 dtype=self.dtype)(identity)
         else:
@@ -105,11 +146,12 @@ class _ScanBody(nn.Module):
     """nn.scan adapter: one identity bottleneck as (carry, _) -> (carry,)."""
     planes: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, _):
         return Bottleneck(self.planes, 1, name="block",
-                          dtype=self.dtype)(x), None
+                          dtype=self.dtype, quant=self.quant)(x), None
 
 
 class ResStage(nn.Module):
@@ -125,21 +167,24 @@ class ResStage(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     scan: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Bottleneck(self.planes, self.stride, name="0",
-                       dtype=self.dtype)(x)
+                       dtype=self.dtype, quant=self.quant)(x)
         if self.scan and self.blocks > 1:
             x, _ = nn.scan(
                 _ScanBody,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.blocks - 1,
-            )(self.planes, dtype=self.dtype, name="scan")(x, None)
+            )(self.planes, dtype=self.dtype, quant=self.quant,
+              name="scan")(x, None)
             return x
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, name=str(i), dtype=self.dtype)(x)
+            x = Bottleneck(self.planes, 1, name=str(i), dtype=self.dtype,
+                           quant=self.quant)(x)
         return x
 
 
@@ -159,25 +204,27 @@ class CLIPResNetBackbone(nn.Module):
     depth: int = 50
     dtype: Dtype = jnp.float32
     scan: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = DEPTH_CFG[self.depth]
         w = cfg["width"]
+        q = self.quant
         x = x.astype(self.dtype)
-        x = _conv(w // 2, 3, 2, name="conv1", dtype=self.dtype)(x)
+        x = _conv(w // 2, 3, 2, name="conv1", dtype=self.dtype, quant=q)(x)
         x = nn.relu(FrozenBN(w // 2, name="bn1", dtype=self.dtype)(x))
-        x = _conv(w // 2, 3, name="conv2", dtype=self.dtype)(x)
+        x = _conv(w // 2, 3, name="conv2", dtype=self.dtype, quant=q)(x)
         x = nn.relu(FrozenBN(w // 2, name="bn2", dtype=self.dtype)(x))
-        x = _conv(w, 3, name="conv3", dtype=self.dtype)(x)
+        x = _conv(w, 3, name="conv3", dtype=self.dtype, quant=q)(x)
         x = nn.relu(FrozenBN(w, name="bn3", dtype=self.dtype)(x))
         x = _avgpool2(x, 2)
         x = ResStage(w, cfg["layers"][0], name="layer1", dtype=self.dtype,
-                     scan=self.scan)(x)
+                     scan=self.scan, quant=q)(x)
         x = ResStage(w * 2, cfg["layers"][1], 2, name="layer2",
-                     dtype=self.dtype, scan=self.scan)(x)
+                     dtype=self.dtype, scan=self.scan, quant=q)(x)
         x = ResStage(w * 4, cfg["layers"][2], 2, name="layer3",
-                     dtype=self.dtype, scan=self.scan)(x)
+                     dtype=self.dtype, scan=self.scan, quant=q)(x)
         return x  # res4: stride 16, channels width*16
 
 
@@ -188,12 +235,14 @@ class Res5Head(nn.Module):
     depth: int = 50
     dtype: Dtype = jnp.float32
     scan: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = DEPTH_CFG[self.depth]
         return ResStage(cfg["width"] * 8, cfg["layers"][3], 2, name="layer4",
-                        dtype=self.dtype, scan=self.scan)(x)
+                        dtype=self.dtype, scan=self.scan,
+                        quant=self.quant)(x)
 
 
 class AttentionPool2d(nn.Module):

@@ -49,16 +49,21 @@ class OpenVocabularyRCNN(nn.Module):
     # 1 = class-agnostic box regression (every shipped reference config);
     # num_classes = per-class delta columns (fast_rcnn.py:249)
     box_reg_classes: int = 1
+    # dynamic-int8 convs in backbone+res5 (serving-path throughput lever,
+    # clip_resnet.Int8Conv). Inference-only: never set on a training model.
+    quant_convs: bool = False
 
     def setup(self):
         cfg = DEPTH_CFG[self.depth]
         self.text_dim = TEXT_DIMS[self.depth]
         self.backbone = CLIPResNetBackbone(self.depth,
                                            dtype=self.compute_dtype,
-                                           scan=self.scan_blocks)
+                                           scan=self.scan_blocks,
+                                           quant=self.quant_convs)
         self.rpn_head = RPNHead(self.num_anchors, dtype=self.compute_dtype)
         self.res5 = Res5Head(self.depth, dtype=self.compute_dtype,
-                             scan=self.scan_blocks)
+                             scan=self.scan_blocks,
+                             quant=self.quant_convs)
         if self.pooling == "attnpool":
             self.attnpool = AttentionPool2d(
                 embed_dim=cfg["width"] * 32, num_heads=cfg["heads"],

@@ -218,3 +218,52 @@ def test_cached_step_matches_live_on_unflipped_batch(setup):
     for k in live:
         np.testing.assert_allclose(float(cached[k]), float(live[k]),
                                    rtol=2e-2, atol=2e-3, err_msg=k)
+
+def test_refresh_cached_two_matches_live_step_two(setup):
+    """TPU.TEACHER_REFRESH_EPOCHS flavor: with the EMA frozen
+    (keep-rate 1.0) and flips off, the cached_two step must reproduce
+    the live step_two losses — isolating the refresh lever's ONLY
+    approximation (prediction staleness), which is zero here."""
+    import coin_tpu.engine.pre_train as pt
+    cfg, store = setup
+    cfg = cfg.clone()
+    cfg.MODEL.MERGE_DIM = 1024
+    cfg.CLOUD.BURN_UP_STEP = 0          # every step is step_two
+    cfg.CLOUD.EMA_KEEP_RATE_OFFLINE = 1.0
+    cfg.TPU.TEACHER_REFRESH_EPOCHS = 2
+    tr = CoinTrainer(cfg, store=store)
+    assert tr._train_step_cached_two is not None
+    tr.teacher_store = tr.collect_teacher_store()
+
+    it = iter(tr.train_loader)
+    batch = next(it)
+    batch.flip[:] = False
+    batch = tr.train_loader._attach_store(batch)
+    arrays = (jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
+              jnp.asarray(batch.flip),
+              pt.online_view_to_detections(batch.online["RCNN"]),
+              pt.online_view_to_detections(batch.online["RPN"]))
+    offline = pt.online_view_to_detections(tr._pack_offline(batch))
+    _, live = tr._train_step(tr.state, *arrays)
+    _, two = tr._train_step_cached_two(tr.state, *arrays, offline)
+    assert set(two) == set(live)
+    for k in live:
+        np.testing.assert_allclose(float(two[k]), float(live[k]),
+                                   rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_refresh_training_loop(setup):
+    """End-to-end: the trainer's refresh branch collects the store at the
+    burn-up crossing and trains through cached_two steps."""
+    cfg, store = setup
+    cfg = cfg.clone()
+    cfg.MODEL.MERGE_DIM = 1024
+    cfg.CLOUD.BURN_UP_STEP = 1
+    cfg.TPU.TEACHER_REFRESH_EPOCHS = 1
+    tr = CoinTrainer(cfg, store=store)
+    state = tr.train(max_iter=5)
+    assert int(state.step) == 5
+    assert tr.teacher_store is not None       # refreshed post-burn-up
+    t0 = np.asarray(next(iter(
+        __import__("jax").tree_util.tree_leaves(state.teacher_params))))
+    assert np.isfinite(t0).all()

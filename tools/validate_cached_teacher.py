@@ -25,6 +25,8 @@ Modes:
   batch    — per-chip batch doubled with linearly scaled LR and halved
              iterations (same images seen) vs the base recipe — the
              TPU batch-scaling question (BENCH.md batch-6 lever)
+  refresh  — step_two live per-step teacher vs TEACHER_REFRESH_EPOCHS=4
+             (predictions from a periodic batched collection pass)
 
   python tools/validate_cached_teacher.py --mode budget --seeds 8 \
       --out bench_artifacts/ab_budget_s8.json
@@ -161,7 +163,8 @@ def main(argv=None):
                         "aggregate — lets a cut-short campaign continue "
                         "without redoing chip time")
     p.add_argument("--mode", choices=("cache", "fasthead", "roibatch",
-                                      "budget", "batch", "batch_live"),
+                                      "budget", "batch", "batch_live",
+                                      "refresh"),
                    default="cache")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
@@ -233,6 +236,19 @@ def main(argv=None):
                                       weights=ckpt)
             cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
             var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
+        elif args.mode == "refresh":
+            # step_two teacher-refresh lever (TPU.TEACHER_REFRESH_EPOCHS):
+            # live per-step teacher vs predictions refreshed by a batched
+            # collection pass every 4 epochs. Both arms all-step_two
+            # (BURN_UP_STEP=0) — the knob only exists post-burn-up.
+            names = ("live_two", "refresh_two")
+            cfg_base.CLOUD.BURN_UP_STEP = 0
+            cfg_var.CLOUD.BURN_UP_STEP = 0
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
+                                      weights=ckpt)
+            cfg_var.TPU.TEACHER_REFRESH_EPOCHS = 4
+            var_ap, var_t = run_one(cfg_var, store, cache=False,
                                     weights=ckpt)
         elif args.mode == "budget":
             # fixture-scale image of foggy_fast.yaml's teacher budget
