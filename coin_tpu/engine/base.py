@@ -182,12 +182,17 @@ class DetectorTrainerBase:
 
     def evaluate(self, params, frozen) -> Dict[str, float]:
         import os
-        loader = TestLoader(
-            self.cfg.DATASETS.TEST[0], self.cfg.DATASETS.ROOT,
-            batch_size=max(self.cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 4),
-            min_size=self.cfg.INPUT.MIN_SIZE_TEST,
-            max_size=self.cfg.INPUT.MAX_SIZE,
-            canvas_hw=self.train_loader.canvas_hw)
+        # loader (XML parse + index) is config-determined: build once,
+        # reuse across the periodic evals
+        loader = getattr(self, "_eval_loader", None)
+        if loader is None:
+            loader = TestLoader(
+                self.cfg.DATASETS.TEST[0], self.cfg.DATASETS.ROOT,
+                batch_size=max(self.cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 4),
+                min_size=self.cfg.INPUT.MIN_SIZE_TEST,
+                max_size=self.cfg.INPUT.MAX_SIZE,
+                canvas_hw=self.train_loader.canvas_hw)
+            self._eval_loader = loader
         variables = merge_params(params, frozen)
         save_pkl = (os.path.join(self.cfg.OUTPUT_DIR, "detections.pckl")
                     if self.cfg.get_path("TEST.SAVE_DETECTION_PKLS", False)

@@ -20,22 +20,42 @@ from coin_tpu.evaluation import VOCEvaluator
 logger = logging.getLogger(__name__)
 
 
+_INFER_CACHE: dict = {}
+
+
+def _infer_for(model, cfg: pipelines.PipelineConfig):
+    """Jitted inference memoized on (model, cfg) — both frozen
+    dataclasses. Variables/tokens are CALL ARGUMENTS: a per-call
+    closure would bake the weights in as HLO constants, forcing a full
+    recompile (and relay round-trip) on every periodic eval."""
+    try:
+        fn = _INFER_CACHE.get((model, cfg))
+    except TypeError:  # unhashable model/cfg variant — build fresh
+        fn = None
+    if fn is None:
+        @jax.jit
+        def fn(variables, images_u8, image_hw, tokens):
+            images = normalize_batch(images_u8)
+            return pipelines.inference(model, variables, images,
+                                       image_hw, tokens, cfg)
+        try:
+            _INFER_CACHE[(model, cfg)] = fn
+        except TypeError:
+            pass
+    return fn
+
+
 def evaluate_detector(model, variables, loader: TestLoader,
                       class_tokens: np.ndarray,
                       cfg: pipelines.PipelineConfig,
                       save_pkl: Optional[str] = None) -> Dict[str, float]:
     tokens = jnp.asarray(class_tokens)
-
-    @jax.jit
-    def infer(images_u8, image_hw):
-        images = normalize_batch(images_u8)
-        return pipelines.inference(model, variables, images, image_hw,
-                                   tokens, cfg)
+    infer = _infer_for(model, cfg)
 
     evaluator = VOCEvaluator(loader.spec.class_names)
     for batch, n_valid in loader:
-        dets = infer(jnp.asarray(batch.images),
-                     jnp.asarray(batch.image_hw))
+        dets = infer(variables, jnp.asarray(batch.images),
+                     jnp.asarray(batch.image_hw), tokens)
         dets = jax.device_get(dets)
         for i in range(n_valid):
             valid = dets.valid[i]

@@ -102,6 +102,8 @@ class CoinTrainer(DetectorTrainerBase):
         self._train_step, self._train_step_cached = \
             self._build_train_step()
         self.teacher_store = None
+        self._collect_loader = None
+        self._collect_infer = None
         self.ap_50_student = {}
         self.ap_50_offline_teacher = {}
 
@@ -135,32 +137,47 @@ class CoinTrainer(DetectorTrainerBase):
     # ------------------------------------------------------------- #
     def collect_teacher_store(self):
         """One inference pass of the (frozen, pre-burn-up) teacher over
-        the unlabeled train set → per-image cache in original coords."""
+        the unlabeled train set → per-image cache in original coords.
+
+        Called once for the step_one cache and periodically by the
+        TPU.TEACHER_REFRESH_EPOCHS lever, so the jitted inference is
+        built ONCE with the teacher variables passed as call arguments
+        — a per-call closure would embed the weights as HLO constants
+        and recompile (and re-ship the program through the relay) on
+        every refresh."""
         from coin_tpu.data.augment import normalize_batch
         from coin_tpu.data.loader import TestLoader
         from coin_tpu.engine.results_store import ResultStore
 
-        loader = TestLoader(
-            self.cfg.DATASETS.TRAIN_UNLABEL[0], self.cfg.DATASETS.ROOT,
-            batch_size=max(self.cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 4),
-            min_size=self.cfg.INPUT.MIN_SIZE_TRAIN,
-            max_size=self.cfg.INPUT.MAX_SIZE,
-            canvas_hw=self.train_loader.canvas_hw)
+        if self._collect_loader is None:
+            self._collect_loader = TestLoader(
+                self.cfg.DATASETS.TRAIN_UNLABEL[0],
+                self.cfg.DATASETS.ROOT,
+                batch_size=max(self.cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 4),
+                min_size=self.cfg.INPUT.MIN_SIZE_TRAIN,
+                max_size=self.cfg.INPUT.MAX_SIZE,
+                canvas_hw=self.train_loader.canvas_hw)
+        loader = self._collect_loader
         variables = merge_params(self.state.teacher_params,
                                  self.state.frozen)
         tokens = jnp.asarray(self.class_tokens)
-        pcfg = self.teacher_pcfg
 
-        @jax.jit
-        def infer(images_u8, hw):
-            return pipelines.inference(self.model, variables,
-                                       normalize_batch(images_u8), hw,
-                                       tokens, pcfg)
+        if self._collect_infer is None:
+            pcfg = self.teacher_pcfg
+
+            @jax.jit
+            def infer(variables, images_u8, hw, tokens):
+                return pipelines.inference(self.model, variables,
+                                           normalize_batch(images_u8),
+                                           hw, tokens, pcfg)
+
+            self._collect_infer = infer
 
         store = ResultStore(self.num_classes)
         for batch, n_valid in loader:
-            dets = jax.device_get(infer(jnp.asarray(batch.images),
-                                        jnp.asarray(batch.image_hw)))
+            dets = jax.device_get(self._collect_infer(
+                variables, jnp.asarray(batch.images),
+                jnp.asarray(batch.image_hw), tokens))
             for i in range(n_valid):
                 valid = dets.valid[i]
                 store.put(batch.image_ids[i], "RCNN",
