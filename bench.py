@@ -107,7 +107,6 @@ def main():
         images_u8 = jnp.asarray(
             rng0.randint(0, 255, (bsz, h, w, 3), np.uint8))
         image_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (bsz, 1))
-        flip = jnp.zeros((bsz,), bool)
 
         def synth_online(n):
             boxes = rng0.uniform(0, 500, (bsz, cap, 4)).astype(np.float32)
@@ -131,10 +130,10 @@ def main():
         offline_sets = synth_online(40)
         offline_sets = jax.tree.map(lambda x: x[:, :100] if hasattr(
             x, "shape") and x.ndim >= 2 else x, offline_sets)
-        return (images_u8, image_hw, flip, online_rcnn, online_rpn,
+        return (images_u8, image_hw, online_rcnn, online_rpn,
                 offline_sets)
 
-    (images_u8, image_hw, flip, online_rcnn, online_rpn,
+    (images_u8, image_hw, online_rcnn, online_rpn,
      offline_sets) = make_inputs(b)
     # stage-1 batch of the two-stage batch-scaled recipe
     # (foggy_fast_b6.yaml + foggy_fast_b6_s2.yaml): the cached step_one
@@ -222,10 +221,10 @@ def main():
     def var_args(name):
         fn, needs_off, bsz = variants[name]
         ins = inputs_b6 if bsz == B6 else (
-            images_u8, image_hw, flip, online_rcnn, online_rpn,
+            images_u8, image_hw, online_rcnn, online_rpn,
             offline_sets)
-        extra = (ins[5],) if needs_off else ()
-        return fn, ins[:5], extra, bsz
+        extra = (ins[4],) if needs_off else ()
+        return fn, ins[:4], extra, bsz
 
     def run_block(name, state, iters):
         """Per-iteration device sync. A single block_until_ready on the

@@ -103,13 +103,15 @@ def strong_augment_single(img: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=())
-def preprocess_batch(images_u8: jnp.ndarray, flip: jnp.ndarray,
+def preprocess_batch(images_u8: jnp.ndarray,
                      rng: jax.Array, strong: bool = True):
     """uint8 (B, H, W, 3) → (strong_normalized, weak_normalized), each
-    (B, H, W, 3) float32, CLIP-normalized, horizontally flipped where
-    ``flip`` is set. One fused kernel stack under jit."""
+    (B, H, W, 3) float32, CLIP-normalized. One fused kernel stack under
+    jit. The horizontal flip happens on the HOST in the loader (valid
+    region only, before padding — reference order) so flipped canvases
+    are bit-identical between the train step and any offline inference
+    pass over the same images."""
     img = images_u8.astype(jnp.float32) / 255.0
-    img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
     weak = (img - CLIP_MEAN) / CLIP_STD
     keys = jax.random.split(rng, img.shape[0])
     s = jax.vmap(strong_augment_single)(img, keys)

@@ -171,6 +171,14 @@ class _BaseLoader:
             rec = self.records[i]
             img, scale, (nh, nw) = loaded[j]
             images[j] = img
+            if flips[j]:
+                # flip the VALID region only (reference order: hflip
+                # happens before pad-to-canvas, dataset_mapper.py weak
+                # resize/flip) — a full-canvas flip would right-align
+                # the content while the boxes below flip around nw,
+                # corrupting every flipped sample whose image does not
+                # exactly fill the canvas width
+                images[j, :nh, :nw] = images[j, :nh, :nw][:, ::-1]
             image_hw[j] = (nh, nw)
             orig_hw[j] = (rec["height"], rec["width"])
             scales[j] = scale

@@ -151,8 +151,12 @@ def load_voc_instances(dirname: str, split: str,
 def make_synthetic_voc(root: str, num_images: int = 8,
                        class_names: Sequence[str] = ("car", "person"),
                        image_hw=(120, 160), seed: int = 0,
-                       split: str = "train") -> str:
-    """Write a tiny synthetic VOC dataset (for tests / smoke training)."""
+                       split: str = "train", sizes=None) -> str:
+    """Write a tiny synthetic VOC dataset (for tests / smoke training).
+
+    ``sizes``: optional list of (h, w) cycled per image — a mixed-size
+    dataset where images do not all fill the loader canvas (regression
+    fixture for flip/padding geometry)."""
     from PIL import Image
     rng = np.random.RandomState(seed)
     h, w = image_hw
@@ -162,6 +166,8 @@ def make_synthetic_voc(root: str, num_images: int = 8,
     for i in range(num_images):
         fid = f"{split}_{i:04d}"
         ids.append(fid)
+        if sizes is not None:
+            h, w = sizes[i % len(sizes)]
         img = rng.randint(0, 255, (h, w, 3), np.uint8)
         objs = []
         for _ in range(rng.randint(1, 4)):

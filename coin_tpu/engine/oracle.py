@@ -51,10 +51,10 @@ class OracleTrainer(DetectorTrainerBase):
         tx = self.tx
 
         @jit_train_step
-        def train_step(state: TrainState, images_u8, image_hw, flip,
+        def train_step(state: TrainState, images_u8, image_hw,
                        gt_boxes, gt_classes, gt_valid):
             rng, rng_aug, rng_step = jax.random.split(state.rng, 3)
-            strong, _ = preprocess_batch(images_u8, flip, rng_aug)
+            strong, _ = preprocess_batch(images_u8, rng_aug)
             gt = Detections(boxes=gt_boxes,
                             scores=jnp.ones_like(gt_classes, jnp.float32),
                             classes=gt_classes, valid=gt_valid, probs=None)
@@ -85,7 +85,7 @@ class OracleTrainer(DetectorTrainerBase):
             batch = next(it)
             arrays = self.shard_batch((
                 jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
-                jnp.asarray(batch.flip), jnp.asarray(batch.gt_boxes),
+                jnp.asarray(batch.gt_boxes),
                 jnp.asarray(batch.gt_classes),
                 jnp.asarray(batch.gt_valid)))
             self.state, losses = self._train_step(self.state, *arrays)

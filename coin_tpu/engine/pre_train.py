@@ -89,11 +89,11 @@ class PRETrainer(DetectorTrainerBase):
         prob_weighted = self.prob_weighted
 
         @jit_train_step
-        def train_step(state: TrainState, images_u8, image_hw, flip,
+        def train_step(state: TrainState, images_u8, image_hw,
                        rcnn: Detections, rpn: Detections,
                        update_prototype):
             rng, rng_aug, rng_s, rng_w = jax.random.split(state.rng, 4)
-            strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+            strong, weak = preprocess_batch(images_u8, rng_aug)
             # both views trained (pre_train.py:190-196)
             images2 = jnp.concatenate([strong, weak], axis=0)
             hw2 = jnp.concatenate([image_hw, image_hw], axis=0)
@@ -133,7 +133,6 @@ class PRETrainer(DetectorTrainerBase):
             update_prototype = (upd_start != -1) and (i >= upd_start)
             arrays = self.shard_batch((
                 jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
-                jnp.asarray(batch.flip),
                 online_view_to_detections(batch.online["RCNN"]),
                 online_view_to_detections(batch.online["RPN"])))
             self.state, losses = self._train_step(

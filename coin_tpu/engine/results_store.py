@@ -50,6 +50,10 @@ class ResultStore:
         rec[f"{view}_probs"] = np.asarray(probs, np.float32).reshape(
             -1, self.num_classes + 1)
 
+    def has_view(self, image_id: str, view: str) -> bool:
+        rec = self._data.get(image_id)
+        return rec is not None and f"{view}_boxes" in rec
+
     def get_view(self, image_id: str, view: str) -> Dict[str, np.ndarray]:
         rec = self._data[image_id]
         return {k[len(view) + 1:]: rec[f"{view}_{k2}"]

@@ -71,8 +71,9 @@ def build_adaptation_steps(model, merge_model, tx, merge_tx, tokens,
     """Returns ``(train_step, train_step_cached)`` over a TrainState —
     plus ``train_step_cached_two`` when ``with_cached_two``.
 
-    ``train_step(state, images_u8, image_hw, flip, online_rcnn,
-    online_rpn) -> (state, losses)`` and ``train_step_cached(state, ...,
+    ``train_step(state, images_u8, image_hw, online_rcnn,
+    online_rpn) -> (state, losses)`` (flips are applied host-side by
+    the loader, so the step takes no flip flags) and ``train_step_cached(state, ...,
     offline) -> (state, losses)``; all Detections arguments are batched
     padded structures. ``pcfg`` sets the student shapes, ``teacher_pcfg``
     the (possibly budgeted) offline-teacher inference shapes.
@@ -165,12 +166,12 @@ def build_adaptation_steps(model, merge_model, tx, merge_tx, tokens,
     # (engine/state.jit_train_step); direct-attached chips donate the
     # TrainState so params/opt_state/teacher are not double-buffered
     @partial(jit_train_step, donate_default=donate_default)
-    def train_step(state: TrainState, images_u8, image_hw, flip,
+    def train_step(state: TrainState, images_u8, image_hw,
                    online_rcnn, online_rpn):
         step = state.step
         step_two = step >= h.burn_up
         rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
-        strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+        strong, weak = preprocess_batch(images_u8, rng_aug)
 
         # ---- EMA teacher update (trainer.py:169-172) ----
         do_ema = step_two & ((step - h.burn_up) % h.ema_every == 0)
@@ -190,22 +191,26 @@ def build_adaptation_steps(model, merge_model, tx, merge_tx, tokens,
 
     @partial(jit_train_step, donate_default=donate_default)
     def train_step_cached(state: TrainState, images_u8, image_hw,
-                          flip, online_rcnn, online_rpn, offline):
+                          online_rcnn, online_rpn, offline):
         """step_one with the teacher's per-image predictions served from
         a one-time collection cache — valid because the teacher is
         FROZEN until burn-up (trainer.py:169-172), so recomputing its
         forward every step (as the reference does) is redundant.
 
-        Note: the cache is collected on the unflipped canvas and
-        re-projected per batch (like the cloud store); on flipped
-        samples this equals the live path up to the detector's flip
-        equivariance — an augmentation-level approximation, not a
-        bitwise one (AP-validated: tools/validate_cached_teacher.py).
-        Disable via TPU.CACHE_TEACHER for exact reference stepping.
+        FLIP-EXACT: the collection pass caches the teacher's
+        predictions for BOTH orientations of every image in CANVAS
+        coords (the loader's host-side flip makes the flipped canvas
+        bit-identical between the collect pass and the train step), so
+        the served offline detections equal the live teacher forward
+        on every batch — flipped or not — with ZERO semantic
+        approximation; the only residual is ~1-ulp XLA reassociation
+        noise between executables compiled at different batch shapes.
+        The default's defense is tests/test_adaptation_e2e.py's
+        equality tests, not a statistical A/B.
         """
         step = state.step
         rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
-        strong, _ = preprocess_batch(images_u8, flip, rng_aug)
+        strong, _ = preprocess_batch(images_u8, rng_aug)
         return step_body(state, strong, image_hw, online_rcnn,
                          online_rpn, offline, state.teacher_params,
                          rng, rng_fwd, step, jnp.asarray(False))
@@ -215,7 +220,7 @@ def build_adaptation_steps(model, merge_model, tx, merge_tx, tokens,
 
     @partial(jit_train_step, donate_default=donate_default)
     def train_step_cached_two(state: TrainState, images_u8, image_hw,
-                              flip, online_rcnn, online_rpn, offline):
+                              online_rcnn, online_rpn, offline):
         """step_two with STALE teacher predictions (the refresh lever,
         TPU.TEACHER_REFRESH_EPOCHS): the EMA teacher-weight trajectory is
         exact parity — only the predictions come from the trainer's
@@ -226,7 +231,7 @@ def build_adaptation_steps(model, merge_model, tx, merge_tx, tokens,
         step = state.step
         step_two = step >= h.burn_up
         rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
-        strong, _ = preprocess_batch(images_u8, flip, rng_aug)
+        strong, _ = preprocess_batch(images_u8, rng_aug)
         do_ema = step_two & ((step - h.burn_up) % h.ema_every == 0)
         teacher = jax.tree.map(
             lambda t, s: jnp.where(

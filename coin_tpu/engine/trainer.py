@@ -136,8 +136,9 @@ class CoinTrainer(DetectorTrainerBase):
 
     # ------------------------------------------------------------- #
     def collect_teacher_store(self):
-        """One inference pass of the (frozen, pre-burn-up) teacher over
-        the unlabeled train set → per-image cache in original coords.
+        """Inference passes of the (frozen, pre-burn-up) teacher over
+        the unlabeled train set — one per orientation — → per-image
+        cache in CANVAS coords (see the flip-exact note below).
 
         Called once for the step_one cache and periodically by the
         TPU.TEACHER_REFRESH_EPOCHS lever, so the jitted inference is
@@ -173,28 +174,63 @@ class CoinTrainer(DetectorTrainerBase):
 
             self._collect_infer = infer
 
+        # FLIP-EXACT cache: the weak view's only stochastic element is
+        # the horizontal flip (the resize factor is deterministic), and
+        # the loader flips the valid canvas region host-side — so
+        # caching the teacher's predictions for BOTH orientations makes
+        # the cached step equal to the live teacher forward on every
+        # batch (up to ~1-ulp XLA reassociation between executables). Unlike the CLOUD store (original coords,
+        # geometric re-projection — reference parity with
+        # base.py:80-126), this store is internal and rebuilt per run,
+        # so it keeps CANVAS coords: no /scale·*scale float round-trip,
+        # the packed detections ARE the live inference outputs bit for
+        # bit (tests/test_adaptation_e2e.py asserts this).
+        both = getattr(self.train_loader, "flip", True)
         store = ResultStore(self.num_classes)
         for batch, n_valid in loader:
-            dets = jax.device_get(self._collect_infer(
-                variables, jnp.asarray(batch.images),
-                jnp.asarray(batch.image_hw), tokens))
-            for i in range(n_valid):
-                valid = dets.valid[i]
-                store.put(batch.image_ids[i], "RCNN",
-                          dets.boxes[i][valid] / batch.scale[i],
-                          dets.classes[i][valid],
-                          dets.scores[i][valid], dets.probs[i][valid])
-        logger.info("cached teacher predictions for %d images",
-                    len(store))
+            passes = [("RCNN", batch.images)]
+            if both:
+                fl = batch.images.copy()
+                for i in range(len(fl)):
+                    nh = int(batch.image_hw[i][0])
+                    nw = int(batch.image_hw[i][1])
+                    fl[i, :nh, :nw] = fl[i, :nh, :nw][:, ::-1]
+                passes.append(("RCNN_FLIP", fl))
+            for view, images in passes:
+                dets = jax.device_get(self._collect_infer(
+                    variables, jnp.asarray(images),
+                    jnp.asarray(batch.image_hw), tokens))
+                for i in range(n_valid):
+                    valid = dets.valid[i]
+                    store.put(batch.image_ids[i], view,
+                              dets.boxes[i][valid],
+                              dets.classes[i][valid],
+                              dets.scores[i][valid],
+                              dets.probs[i][valid])
+        logger.info("cached teacher predictions for %d images%s",
+                    len(store), " (both orientations)" if both else "")
         return store
 
     def _pack_offline(self, batch):
+        """Serve the teacher cache for a train batch. The store holds
+        CANVAS coords (scale=1, no rescale), and flipped samples read
+        the RCNN_FLIP view — predictions made ON the flipped image —
+        so the packed arrays equal the live teacher inference with no
+        semantic approximation."""
         import numpy as np
         cap = self.pcfg.test_topk
-        per = [self.teacher_store.pack_view(
-            batch.image_ids[j], "RCNN", cap, float(batch.scale[j]),
-            bool(batch.flip[j]), float(batch.image_hw[j][1]))
-            for j in range(len(batch.image_ids))]
+        per = []
+        for j in range(len(batch.image_ids)):
+            fl = bool(batch.flip[j])
+            if fl and not self.teacher_store.has_view(
+                    batch.image_ids[j], "RCNN_FLIP"):
+                raise RuntimeError(
+                    "teacher store lacks the RCNN_FLIP view for flipped "
+                    "sample %r — re-collect with flips enabled"
+                    % batch.image_ids[j])
+            per.append(self.teacher_store.pack_view(
+                batch.image_ids[j], "RCNN_FLIP" if fl else "RCNN",
+                cap, 1.0, False, 0.0))
         return {k: np.stack([p[k] for p in per]) for k in per[0]}
 
     def train(self, max_iter: Optional[int] = None):
@@ -225,7 +261,6 @@ class CoinTrainer(DetectorTrainerBase):
             batch = next(it)
             arrays = self.shard_batch((
                 jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
-                jnp.asarray(batch.flip),
                 online_view_to_detections(batch.online["RCNN"]),
                 online_view_to_detections(batch.online["RPN"])))
             if use_cache and i < burn_up:

@@ -7,9 +7,12 @@ clip_rcnn.py:287-298). Here the whole stage runs on device:
 - ``resize_bilinear``: aspect-preserving bilinear resize as two dense
   interpolation-matrix contractions (same MXU formulation as RoIAlign —
   resize is RoIAlign of the full-image box).
-- ``normalize_flip_pallas``: fused uint8 → normalized float + horizontal
-  flip in ONE Pallas pass over HBM (one read, one write per pixel).
-  Falls back to the jnp path off-TPU.
+- ``normalize_flip``: microbenchmark fixture only (tools/
+  bench_preprocess.py; BENCH.md "Pallas preprocess"). Production
+  normalization lives in data/augment.py, and the horizontal flip is
+  HOST-side in the loader (valid region, flip-before-pad) since round 3
+  — a full-canvas device flip misaligns content and boxes whenever an
+  image does not fill the canvas.
 """
 
 from __future__ import annotations

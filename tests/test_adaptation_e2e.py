@@ -177,7 +177,6 @@ def test_dual_box_reg_class_specific(setup):
     batch = next(it)
     from coin_tpu.engine.pre_train import online_view_to_detections
     arrays = (jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
-              jnp.asarray(batch.flip),
               online_view_to_detections(batch.online["RCNN"]),
               online_view_to_detections(batch.online["RPN"]))
     _, losses = tr._train_step(tr.state, *arrays)
@@ -188,11 +187,16 @@ def test_dual_box_reg_class_specific(setup):
     assert np.isfinite(float(losses["loss_box_reg_offline"]))
 
 
-def test_cached_step_matches_live_on_unflipped_batch(setup):
-    """On an unflipped batch pre-burn-up, the cached-teacher step must
-    reproduce the live step's losses (same rng streams; offline dets
-    from the cache equal the live inference up to re-projection
-    rounding)."""
+@pytest.mark.parametrize("flipped", [False, True])
+def test_cached_step_matches_live(setup, flipped):
+    """FLIP-EXACT teacher cache: on ANY batch — flipped or not — the
+    packed offline detections must equal the live teacher inference on
+    the batch's weak view with ZERO semantic approximation (the
+    collection pass caches both orientations in canvas coords, and the
+    loader's host-side flip makes the flipped canvases bit-identical).
+    The only tolerance is ~1-ulp XLA reassociation noise between the
+    collect-batch-shape executable and this one; and the cached step
+    must reproduce the live step's losses."""
     import jax
     import coin_tpu.engine.pre_train as pt
     cfg, store = setup
@@ -202,17 +206,40 @@ def test_cached_step_matches_live_on_unflipped_batch(setup):
     cfg.TPU.CACHE_TEACHER_MIN_STEPS = 1
     tr = CoinTrainer(cfg, store=store)
     tr.teacher_store = tr.collect_teacher_store()
+    from coin_tpu.engine.state import merge_params
 
-    it = iter(tr.train_loader)
-    batch = next(it)
-    batch.flip[:] = False
-    # rebuild online packs without flip
+    bsz = tr.train_loader.batch_size
+    batch = tr.train_loader.pack_batch(
+        list(range(bsz)), np.full(bsz, flipped, bool))
     batch = tr.train_loader._attach_store(batch)
+    offline_np = tr._pack_offline(batch)
+
+    # --- the bitwise claim: packed cache == live inference ---
+    variables = merge_params(tr.state.teacher_params, tr.state.frozen)
+    dets = jax.device_get(tr._collect_infer(
+        variables, jnp.asarray(batch.images),
+        jnp.asarray(batch.image_hw), jnp.asarray(tr.class_tokens)))
+    for i in range(bsz):
+        rows = dets.valid[i]
+        n = int(rows.sum())
+        assert n > 0, "fixture teacher found nothing"
+        assert int(offline_np["valid"][i].sum()) == n
+        np.testing.assert_allclose(offline_np["boxes"][i][:n],
+                                    dets.boxes[i][rows],
+                                    rtol=1e-5, atol=2e-4)
+        np.testing.assert_allclose(offline_np["scores"][i][:n],
+                                   dets.scores[i][rows],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(offline_np["probs"][i][:n],
+                                   dets.probs[i][rows],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(offline_np["classes"][i][:n],
+                                      dets.classes[i][rows])
+
     arrays = (jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
-              jnp.asarray(batch.flip),
               pt.online_view_to_detections(batch.online["RCNN"]),
               pt.online_view_to_detections(batch.online["RPN"]))
-    offline = pt.online_view_to_detections(tr._pack_offline(batch))
+    offline = pt.online_view_to_detections(offline_np)
     _, live = tr._train_step(tr.state, *arrays)
     _, cached = tr._train_step_cached(tr.state, *arrays, offline)
     for k in live:
@@ -235,12 +262,11 @@ def test_refresh_cached_two_matches_live_step_two(setup):
     assert tr._train_step_cached_two is not None
     tr.teacher_store = tr.collect_teacher_store()
 
-    it = iter(tr.train_loader)
-    batch = next(it)
-    batch.flip[:] = False
+    bsz = tr.train_loader.batch_size
+    batch = tr.train_loader.pack_batch(list(range(bsz)),
+                                       np.zeros(bsz, bool))
     batch = tr.train_loader._attach_store(batch)
     arrays = (jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
-              jnp.asarray(batch.flip),
               pt.online_view_to_detections(batch.online["RCNN"]),
               pt.online_view_to_detections(batch.online["RPN"]))
     offline = pt.online_view_to_detections(tr._pack_offline(batch))

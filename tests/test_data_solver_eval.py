@@ -45,6 +45,45 @@ def test_train_loader_batches(synth_root):
     assert b.gt_boxes[b.gt_valid].max() <= max(b.images.shape[1:3])
 
 
+def test_flip_geometry_mixed_sizes(tmp_path):
+    """Regression: the loader flips the VALID canvas region (reference
+    order — hflip before pad), so on a mixed-size dataset the flipped
+    image content must stay left-aligned and match both the unflipped
+    content mirrored within nw and the flipped gt boxes. A full-canvas
+    flip would right-align the content while the boxes flip around nw,
+    corrupting every flipped sample that does not fill the canvas."""
+    root = tmp_path / "mix"
+    make_synthetic_voc(str(root / "m/VOC2007"), num_images=4,
+                       sizes=[(120, 160), (120, 100), (80, 160), (90, 90)])
+    voc_mod.register_pascal_voc("mixflip", "m/VOC2007", "train",
+                                ("car", "person"), ".jpg")
+    loader = TrainLoader("mixflip", str(root), batch_size=4, seed=0,
+                         min_size=60, max_size=120)
+    idx = [0, 1, 2, 3]
+    plain = loader.pack_batch(idx, np.zeros(4, bool))
+    flip = loader.pack_batch(idx, np.ones(4, bool))
+    colors = {0: np.array([60, 160, 220]), 1: np.array([220, 60, 60])}
+    assert any(int(hw[1]) != plain.images.shape[2]
+               for hw in plain.image_hw), "fixture must not fill canvas"
+    for j in range(4):
+        nh, nw = int(plain.image_hw[j][0]), int(plain.image_hw[j][1])
+        # content mirrored within the valid region, padding untouched
+        np.testing.assert_array_equal(
+            flip.images[j, :nh, :nw], plain.images[j, :nh, :nw][:, ::-1])
+        np.testing.assert_array_equal(
+            flip.images[j, :, nw:], plain.images[j, :, nw:])
+        # each flipped gt box still covers its class-colored rectangle
+        for b in range(int(flip.gt_valid[j].sum())):
+            x1, y1, x2, y2 = flip.gt_boxes[j, b]
+            cls = int(flip.gt_classes[j, b])
+            patch = flip.images[j, int(y1) + 2:int(y2) - 2,
+                                int(x1) + 2:int(x2) - 2].reshape(-1, 3)
+            assert len(patch) > 0
+            err = np.abs(patch.astype(np.float32)
+                         - colors[cls]).mean()
+            assert err < 40, (j, b, err)
+
+
 def test_test_loader_covers_all(synth_root):
     loader = TestLoader("synthtrain", synth_root, batch_size=4,
                         min_size=100, max_size=200)
@@ -57,13 +96,13 @@ def test_test_loader_covers_all(synth_root):
 
 def test_device_augment_shapes(rng):
     imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8))
-    flip = jnp.asarray([True, False])
-    strong, weak = preprocess_batch(imgs, flip, jax.random.key(0))
+    strong, weak = preprocess_batch(imgs, jax.random.key(0))
     assert strong.shape == weak.shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(strong)).all()
-    # flip applied identically to both views
-    w0 = np.asarray(normalize_batch(imgs))[0, :, ::-1]
-    np.testing.assert_allclose(np.asarray(weak)[0], w0, atol=1e-5)
+    # weak view is the plain normalization (flips happen in the loader)
+    np.testing.assert_allclose(np.asarray(weak),
+                               np.asarray(normalize_batch(imgs)),
+                               atol=1e-5)
 
 
 def test_two_stage_lr_schedule_matches_reference():

@@ -106,7 +106,6 @@ def main():
         images_u8 = jnp.asarray(
             rng0.randint(0, 255, (bsz, h, w, 3), np.uint8))
         image_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (bsz, 1))
-        flip = jnp.zeros((bsz,), bool)
 
         def synth(n, capn):
             boxes = rng0.uniform(0, 500, (bsz, capn, 4)).astype(np.float32)
@@ -124,7 +123,7 @@ def main():
                               valid=jnp.asarray(valid),
                               probs=jnp.asarray(probs))
 
-        return (images_u8, image_hw, flip, synth(24, cap), synth(32, cap),
+        return (images_u8, image_hw, synth(24, cap), synth(32, cap),
                 synth(40, 100))
 
     def run_chain(fn, state, ins, extra, iters):

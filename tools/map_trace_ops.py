@@ -57,7 +57,6 @@ def build_step(flavor: str):
     rng0 = np.random.RandomState(0)
     images_u8 = jnp.asarray(rng0.randint(0, 255, (b, h, w, 3), np.uint8))
     image_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (b, 1))
-    flip = jnp.zeros((b,), bool)
 
     def synth_online(n, capn=cap):
         boxes = rng0.uniform(0, 500, (b, capn, 4)).astype(np.float32)
@@ -99,9 +98,9 @@ def build_step(flavor: str):
         model, merge_model, tx, merge_tx, tokens, pcfg, pcfg,
         StepHyper(burn_up=10, proto_start=0))
     if flavor == "cached":
-        return cached, (state, images_u8, image_hw, flip, online_rcnn,
+        return cached, (state, images_u8, image_hw, online_rcnn,
                         online_rpn, offline)
-    return live, (state, images_u8, image_hw, flip, online_rcnn,
+    return live, (state, images_u8, image_hw, online_rcnn,
                   online_rpn)
 
 

@@ -243,7 +243,6 @@ def run_pipeline(args):
         batch = next(it)
         arrays = tr.shard_batch((
             jnp.asarray(batch.images), jnp.asarray(batch.image_hw),
-            jnp.asarray(batch.flip),
             online_view_to_detections(batch.online["RCNN"]),
             online_view_to_detections(batch.online["RPN"])))
         tr.state, _ = tr._train_step(tr.state, *arrays,

@@ -153,7 +153,6 @@ def _probe_real_step():
     rng0 = np.random.RandomState(0)
     images_u8 = jnp.asarray(rng0.randint(0, 255, (b, h, w, 3), np.uint8))
     image_hw = jnp.asarray([[h, w]], jnp.float32)
-    flip = jnp.zeros((b,), bool)
 
     boxes = rng0.uniform(0, 40, (b, cap, 4)).astype(np.float32)
     boxes[..., 2:] = boxes[..., :2] + 16
@@ -186,9 +185,9 @@ def _probe_real_step():
         merge_opt_state=mtx.init(mv["params"]))
 
     @partial(jit_train_step, donate_default=True)
-    def step(state: TrainState, images_u8, image_hw, flip, online):
+    def step(state: TrainState, images_u8, image_hw, online):
         rng, rng_aug, rng_fwd = jax.random.split(state.rng, 3)
-        strong, weak = preprocess_batch(images_u8, flip, rng_aug)
+        strong, weak = preprocess_batch(images_u8, rng_aug)
         teacher = jax.tree.map(lambda t, s: t * 0.999 + s * 0.001,
                                state.teacher_params, state.params)
         offline = pipelines.inference(
@@ -242,7 +241,7 @@ def _probe_real_step():
                              rng=rng, step=state.step + 1), loss
 
     for _ in range(2):
-        state, loss = step(state, images_u8, image_hw, flip, online)
+        state, loss = step(state, images_u8, image_hw, online)
         jax.block_until_ready(loss)
     assert np.isfinite(float(loss))
 

@@ -130,7 +130,6 @@ def capture(flavor: str, steps: int, logdir: str):
     rng0 = np.random.RandomState(0)
     images_u8 = jnp.asarray(rng0.randint(0, 255, (b, h, w, 3), np.uint8))
     image_hw = jnp.tile(jnp.asarray([[h, w]], jnp.float32), (b, 1))
-    flip = jnp.zeros((b,), bool)
 
     def synth_online(n):
         boxes = rng0.uniform(0, 500, (b, cap, 4)).astype(np.float32)
@@ -176,12 +175,12 @@ def capture(flavor: str, steps: int, logdir: str):
     fn, extra = (live, ()) if flavor == "live" else (cached, (offline,))
 
     # warm/compile outside the trace
-    state, losses = fn(state, images_u8, image_hw, flip, online_rcnn,
+    state, losses = fn(state, images_u8, image_hw, online_rcnn,
                        online_rpn, *extra)
     jax.block_until_ready(losses)
     jax.profiler.start_trace(logdir)
     for _ in range(steps):
-        state, losses = fn(state, images_u8, image_hw, flip, online_rcnn,
+        state, losses = fn(state, images_u8, image_hw, online_rcnn,
                            online_rpn, *extra)
     jax.block_until_ready(losses)
     jax.profiler.stop_trace()
