@@ -16,6 +16,12 @@ Design (pre-registered, round 3):
     "pass" = the CI excludes a loss worse than -2 AP50.
 
 Modes:
+  aa       — A/A noise calibration: BOTH arms run the identical recipe;
+             the variant arm's init params are perturbed by 1e-6
+             relative noise (the minimal numeric difference any real
+             knob introduces). The measured |delta| distribution IS the
+             fixture's noise floor — the harness can only adjudicate
+             knobs whose true effect exceeds it.
   cache    — cached vs live teacher (TPU.CACHE_TEACHER; both exact head)
   fasthead — live fast-head teacher vs live exact teacher
   roibatch — half student ROI batch vs full (cached teacher both)
@@ -28,8 +34,19 @@ Modes:
   refresh  — step_two live per-step teacher vs TEACHER_REFRESH_EPOCHS=4
              (predictions from a periodic batched collection pass)
 
-  python tools/validate_cached_teacher.py --mode budget --seeds 8 \
-      --out bench_artifacts/ab_budget_s8.json
+Fixtures:
+  v2 — the round-2/3 fixture (64 flat-color train images, 32 eval,
+       final-eval primary endpoint). Measured noise floor ±6.5–16 AP50
+       — kept only to reproduce the old campaigns.
+  v3 — round-4 (DEFAULT): 512 rich multi-scale train images
+       (make_synthetic_voc_rich), 256 eval, fixture-scale anchors
+       [8,16,32,64], longer pretrain, PRIMARY ENDPOINT = mean AP50 of
+       the last 3 evals (pre-registered; the final single eval is
+       retained as secondary). Calibrate with --mode aa before trusting
+       any verdict.
+
+  python tools/validate_cached_teacher.py --mode aa --seeds 8 \
+      --platform cpu --out bench_artifacts/ab_aa_v3_s8.json
 """
 
 from __future__ import annotations
@@ -52,9 +69,16 @@ _T95 = {1: 12.706, 2: 4.303, 3: 3.182, 4: 2.776, 5: 2.571, 6: 2.447,
 EXCLUDE_PRETRAIN_AP_BELOW = 10.0  # pre-registered exclusion rule
 
 
-def build_cfg(root, out, iters, eval_every, batch=2, base_lr=0.02):
+def build_cfg(root, out, iters, eval_every, batch=2, base_lr=0.02,
+              fixture="v2"):
     from coin_tpu.config import load_config
     cfg = load_config()
+    if fixture == "v3":
+        # anchors matched to the v3 object-scale spectrum (12–56 px on
+        # the 120×160 canvas ≈ 10–45 px after the 0.8 resize); the v2
+        # default [32..512] leaves small objects reachable only through
+        # the forced best-match anchor
+        cfg.MODEL.ANCHOR_GENERATOR.SIZES = [8, 16, 32, 64]
     cfg.DATASETS.ROOT = root
     cfg.DATASETS.TRAIN_UNLABEL = ["abtrain"]
     cfg.DATASETS.TEST = ["abval"]
@@ -124,7 +148,8 @@ def pretrain(cfg, store, iters):
     return ckpt, ap
 
 
-def run_one(cfg, store, cache: bool, weights: str = ""):
+def run_one(cfg, store, cache: bool, weights: str = "",
+            perturb: bool = False):
     from coin_tpu.engine.trainer import CoinTrainer
     cfg = cfg.clone()
     cfg.TPU.CACHE_TEACHER = bool(cache)
@@ -133,6 +158,23 @@ def run_one(cfg, store, cache: bool, weights: str = ""):
         cfg.MODEL.WEIGHTS = weights
     tr = CoinTrainer(cfg, store=store)
     tr.resume_or_load(False)
+    if perturb:
+        # A/A variant arm: 1e-6 relative noise on every float param —
+        # the scale of numeric difference a semantically-neutral knob
+        # (recompiled executable, reassociated reduction) introduces.
+        import jax
+        import jax.numpy as jnp
+        leaves, treedef = jax.tree.flatten(tr.state.params)
+        keys = jax.random.split(jax.random.key(cfg.SEED + 777),
+                                len(leaves))
+        leaves = [
+            l * (1 + 1e-6 * jax.random.normal(k, l.shape, l.dtype))
+            if jnp.issubdtype(l.dtype, jnp.floating) else l
+            for l, k in zip(leaves, keys)]
+        params = jax.tree.unflatten(treedef, leaves)
+        tr.state = tr.state.replace(
+            params=params,
+            teacher_params=jax.tree.map(jnp.copy, params))
     t0 = time.perf_counter()
     tr.train()
     dt = time.perf_counter() - t0
@@ -141,14 +183,21 @@ def run_one(cfg, store, cache: bool, weights: str = ""):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=400)
+    p.add_argument("--fixture", choices=("v2", "v3"), default="v3",
+                   help="v3 (round 4): rich 512-image fixture, smoothed "
+                        "primary endpoint; v2 reproduces the round-2/3 "
+                        "campaigns")
+    p.add_argument("--iters", type=int, default=None,
+                   help="adaptation iters per arm (default: v2 400, "
+                        "v3 800)")
     p.add_argument("--eval-every", type=int, default=100)
-    p.add_argument("--images", type=int, default=64,
-                   help="fixture train images (sized so CLIPDET pretrain "
-                        "reliably converges; round-2 flatlines came from "
-                        "a 40-image fixture)")
-    p.add_argument("--pre-iters", type=int, default=800,
-                   help="CLIPDET pretrain iterations before the A/B")
+    p.add_argument("--images", type=int, default=None,
+                   help="fixture train images (default: v2 64, v3 512)")
+    p.add_argument("--eval-images", type=int, default=None,
+                   help="held-out eval images (default: images//2)")
+    p.add_argument("--pre-iters", type=int, default=None,
+                   help="CLIPDET pretrain iterations before the A/B "
+                        "(default: v2 800, v3 2000)")
     p.add_argument("--seeds", type=int, default=8,
                    help="paired seeds; per-seed AP on tiny synthetic "
                         "data swings tens of AP, so the aggregate is "
@@ -162,9 +211,9 @@ def main(argv=None):
                         "(seeds < --seed-start) are merged into the "
                         "aggregate — lets a cut-short campaign continue "
                         "without redoing chip time")
-    p.add_argument("--mode", choices=("cache", "fasthead", "roibatch",
-                                      "budget", "batch", "batch_live",
-                                      "refresh"),
+    p.add_argument("--mode", choices=("aa", "cache", "fasthead",
+                                      "roibatch", "budget", "batch",
+                                      "batch_live", "refresh"),
                    default="cache")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
@@ -174,6 +223,17 @@ def main(argv=None):
                         "round-trip tax and free the chip for perf "
                         "work")
     args = p.parse_args(argv)
+
+    # fixture-resolved defaults (pre-registered per fixture version)
+    v3 = args.fixture == "v3"
+    if args.iters is None:
+        args.iters = 800 if v3 else 400
+    if args.images is None:
+        args.images = 512 if v3 else 64
+    if args.pre_iters is None:
+        args.pre_iters = 2000 if v3 else 800
+    if args.eval_images is None:
+        args.eval_images = max(args.images // 2, 8)
 
     if args.platform:
         import jax
@@ -187,15 +247,16 @@ def main(argv=None):
     enable_compile_cache()
 
     from coin_tpu.data import voc as voc_mod
-    from coin_tpu.data.voc import load_voc_instances, make_synthetic_voc
+    from coin_tpu.data.voc import (load_voc_instances, make_synthetic_voc,
+                                   make_synthetic_voc_rich)
 
     root = tempfile.mkdtemp(prefix="ab_data_")
     classes = ("car", "person")
-    make_synthetic_voc(os.path.join(root, "synth/VOC2007"),
-                       num_images=args.images, split="train")
-    make_synthetic_voc(os.path.join(root, "synth/VOC2007"),
-                       num_images=max(args.images // 2, 8), split="val",
-                       seed=7)
+    gen = make_synthetic_voc_rich if v3 else make_synthetic_voc
+    gen(os.path.join(root, "synth/VOC2007"),
+        num_images=args.images, split="train")
+    gen(os.path.join(root, "synth/VOC2007"),
+        num_images=args.eval_images, split="val", seed=7)
     voc_mod.register_pascal_voc("abtrain", "synth/VOC2007", "train",
                                 classes, ".jpg")
     voc_mod.register_pascal_voc("abval", "synth/VOC2007", "val", classes,
@@ -208,16 +269,28 @@ def main(argv=None):
         out_pre = tempfile.mkdtemp(prefix="ab_pre_")
         out_base = tempfile.mkdtemp(prefix="ab_base_")
         out_var = tempfile.mkdtemp(prefix="ab_var_")
-        cfg_pre = build_cfg(root, out_pre, args.pre_iters, 10 ** 9)
-        cfg_base = build_cfg(root, out_base, args.iters, args.eval_every)
-        cfg_var = build_cfg(root, out_var, args.iters, args.eval_every)
+        cfg_pre = build_cfg(root, out_pre, args.pre_iters, 10 ** 9,
+                            fixture=args.fixture)
+        cfg_base = build_cfg(root, out_base, args.iters, args.eval_every,
+                             fixture=args.fixture)
+        cfg_var = build_cfg(root, out_var, args.iters, args.eval_every,
+                            fixture=args.fixture)
         for c in (cfg_pre, cfg_base, cfg_var):
             c.SEED = 2024 + 101 * seed_idx
 
         ckpt, pre_ap = pretrain(cfg_pre, store, args.pre_iters)
         print(f"[seed {seed_idx}] pretrain AP50 = {pre_ap:.2f}")
 
-        if args.mode == "cache":
+        if args.mode == "aa":
+            # identical recipe both arms (the cached step_one recipe —
+            # the phase every knob campaign runs in); var arm perturbed
+            # at init. Any measured delta is pure fixture noise.
+            names = ("aa_base", "aa_perturbed")
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt, perturb=True)
+        elif args.mode == "cache":
             names = ("live", "cached")
             base_ap, base_t = run_one(cfg_base, store, cache=False,
                                       weights=ckpt)
@@ -291,6 +364,8 @@ def main(argv=None):
         with open(args.resume_from) as f:
             prior = json.load(f)
         assert prior["mode"] == args.mode, "resume artifact mode mismatch"
+        assert prior.get("fixture", "v2") == args.fixture, \
+            "resume artifact fixture mismatch"
         names = tuple(prior["arms"])
         per_seed = [r for r in prior["per_seed"]
                     if r["seed"] < args.seed_start]
@@ -354,32 +429,55 @@ def main(argv=None):
     half3 = (_T95.get(n3 - 1, 1.96) * sd3 / math.sqrt(n3)
              if n3 > 1 else None)
     ci3 = ([mean3 - half3, mean3 + half3] if half3 is not None else None)
+    # Primary endpoint (pre-registered): v2 campaigns keep the final
+    # single eval (comparability with rounds 2-3); v3 campaigns use the
+    # SMOOTHED endpoint (mean AP50 of the last 3 evals) — the round-3
+    # campaigns showed single final evals swing tens of AP in the last
+    # 100 iters on the small fixture.
+    if v3:
+        p_mean, p_sd, p_ci = mean3, sd3, ci3
+        primary = "avg3"
+    else:
+        p_mean, p_sd, p_ci = mean, sd, ci
+        primary = "final"
     report = {
-        "mode": args.mode, "iters": args.iters,
+        "mode": args.mode, "fixture": args.fixture, "iters": args.iters,
         "pretrain_iters": args.pre_iters, "images": args.images,
+        "eval_images": args.eval_images,
         "seeds": args.seeds, "arms": list(names),
         "exclusion_rule": f"pretrain AP50 < {EXCLUDE_PRETRAIN_AP_BELOW}"
                           " (pre-registered)",
         "n_functional": n,
         "excluded_seeds": [r["seed"] for r in per_seed if r["excluded"]],
+        "primary_endpoint": primary,
         "delta_mean": mean, "delta_sd": sd, "delta_ci95": ci,
         "delta_avg3_mean": mean3, "delta_avg3_sd": sd3,
         "delta_avg3_ci95": ci3, "n_avg3": n3,
-        "avg3_note": "secondary endpoint: mean AP50 of the last 3 evals "
-                     "per arm (pre-registered round 3; older resumed "
-                     "seeds lack it). Verdict is still the primary "
-                     "final-eval rule.",
+        "avg3_note": "mean AP50 of the last 3 evals per arm — the "
+                     "PRIMARY endpoint for fixture v3 (pre-registered "
+                     "round 4); secondary for v2, where the verdict "
+                     "stays the final-eval rule for comparability.",
         "final_base_mean": float(np.mean([r["final_base"]
                                           for r in used])) if n else None,
         "final_var_mean": float(np.mean([r["final_var"]
                                          for r in used])) if n else None,
-        "verdict": (None if ci is None else
-                    ("PASS" if ci[0] > -2.0 else
-                     ("FAIL" if ci[1] < 0.0 else "INCONCLUSIVE"))),
-        "verdict_rule": "PASS iff CI95 lower bound > -2 AP50; FAIL iff "
-                        "CI95 upper bound < 0",
+        "verdict": (None if p_ci is None else
+                    ("PASS" if p_ci[0] > -2.0 else
+                     ("FAIL" if p_ci[1] < 0.0 else "INCONCLUSIVE"))),
+        "verdict_rule": f"on the {primary} endpoint: PASS iff CI95 lower"
+                        " bound > -2 AP50; FAIL iff CI95 upper bound"
+                        " < 0",
         "per_seed": per_seed,
     }
+    if args.mode == "aa":
+        # noise-floor statement: the fixture can adjudicate knobs whose
+        # true effect exceeds ~the CI half-width at the campaign's n
+        report["noise_floor_sd"] = p_sd
+        report["noise_floor_ok"] = (p_sd is not None and p_sd <= 2.0)
+        report["verdict"] = None
+        report["verdict_rule"] = ("aa mode measures the noise floor; "
+                                  "target: primary-endpoint delta SD "
+                                  "<= 2 AP50")
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
