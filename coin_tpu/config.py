@@ -196,6 +196,10 @@ def default_config() -> CfgNode:
             "WARMUP_ITERS": 400,
             "WARMUP_FACTOR": 0.001,
             "IMG_PER_BATCH_UNLABEL": 3,
+            # detectron2 auto_scale_workers reference size: 0 = off.
+            # When set, trainers rescale batch/LR/schedule by
+            # device_count/REFERENCE_WORLD_SIZE (engine/base.py).
+            "REFERENCE_WORLD_SIZE": 0,
             "CHECKPOINT_PERIOD": 1000,
             "PER_MODULE_PARAM_WEIGHT": [{}],
             "CLIP_GRADIENTS": {"ENABLED": False, "CLIP_VALUE": 1.0},

@@ -70,11 +70,44 @@ def loss_weights_from(cfg) -> Dict[str, float]:
     }
 
 
+def auto_scale_workers(cfg, num_workers: int):
+    """detectron2 ``DefaultTrainer.auto_scale_workers`` parity (SURVEY
+    §2.8; called by every reference trainer ctor, e.g.
+    coin/engine/trainer.py:50): when ``SOLVER.REFERENCE_WORLD_SIZE`` is
+    set and differs from the actual worker count, rescale the global
+    batch linearly and LR/schedule accordingly so a config written for
+    N workers trains equivalently on M. Returns a new cfg; a no-op at
+    the reference value 0. ``num_workers`` here is the global device
+    count (the TPU-mesh analog of detectron2's #GPUs)."""
+    old = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if old == 0 or old == num_workers:
+        return cfg
+    cfg = cfg.clone()
+    scale = num_workers / old
+    cfg.SOLVER.IMG_PER_BATCH_UNLABEL = int(
+        round(cfg.SOLVER.IMG_PER_BATCH_UNLABEL * scale))
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = [int(round(s / scale)) for s in cfg.SOLVER.STEPS]
+    cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(
+        round(cfg.SOLVER.CHECKPOINT_PERIOD / scale))
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = num_workers
+    logger.info("auto_scale_workers: %d -> %d workers (batch %d, lr %g, "
+                "max_iter %d)", old, num_workers,
+                cfg.SOLVER.IMG_PER_BATCH_UNLABEL, cfg.SOLVER.BASE_LR,
+                cfg.SOLVER.MAX_ITER)
+    return cfg
+
+
 class DetectorTrainerBase:
     """Builds the detector + partitioned params + optimizer + loaders."""
 
     def __init__(self, cfg, class_tokens: Optional[np.ndarray] = None,
                  train_loader: Optional[TrainLoader] = None):
+        import jax as _jax
+        cfg = auto_scale_workers(cfg, _jax.device_count())
         self.cfg = cfg
         root = cfg.DATASETS.ROOT
         train_name = cfg.DATASETS.TRAIN_UNLABEL[0]

@@ -143,9 +143,18 @@ def build_cloud_detector(cfg, arch, class_names):
         sd = torch.load(weight, map_location="cpu")
         sd = sd.get("model", sd)
         variant = cfg.MODEL.TEACHER_CLOUD.TYPE
-        model = GLIP(variant=variant, dtype=jnp.bfloat16)
+        # tower depth from the checkpoint itself (official interleave:
+        # 3 tower slots per conv block — VLFuse, BertEncoderLayer,
+        # DyConv); GLIP-T/L ship 8 blocks = indices 0..23
+        blocks = 1 + max(
+            (int(k.split("dyhead_tower.")[1].split(".")[0])
+             for k in sd if "dyhead_tower." in k),
+            default=23) // 3
+        model = GLIP(variant=variant, num_blocks=blocks,
+                     dtype=jnp.bfloat16)
         params = jax.tree.map(jnp.asarray, convert_glip(
-            {k: v.numpy() for k, v in sd.items()}, variant))
+            {k: v.numpy() for k, v in sd.items()}, variant,
+            num_blocks=blocks))
         bert, bert_params = bert_params_from_glip(sd)
 
         def bert_apply(ids, mask):

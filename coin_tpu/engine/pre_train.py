@@ -42,6 +42,9 @@ def online_view_to_detections(view: Dict[str, np.ndarray]) -> Detections:
 class PRETrainer(DetectorTrainerBase):
     def __init__(self, cfg, store: Optional[ResultStore] = None,
                  class_tokens: Optional[np.ndarray] = None):
+        from coin_tpu.engine.base import auto_scale_workers
+        import jax as _jax
+        cfg = auto_scale_workers(cfg, _jax.device_count())
         if store is None:
             store = self._load_store(cfg)
         root = cfg.DATASETS.ROOT

@@ -39,6 +39,8 @@ logger = logging.getLogger(__name__)
 class CoinTrainer(DetectorTrainerBase):
     def __init__(self, cfg, store: Optional[ResultStore] = None,
                  class_tokens: Optional[np.ndarray] = None):
+        from coin_tpu.engine.base import auto_scale_workers
+        cfg = auto_scale_workers(cfg, jax.device_count())
         if store is None:
             store = self._load_store(cfg)
         loader = TrainLoader(

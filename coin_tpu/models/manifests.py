@@ -190,14 +190,7 @@ def bert_manifest(prefix: str = "bert", layers: int = 12,
     keys[f"{prefix}.embeddings.token_type_embeddings.weight"] = (2, hidden)
     _ln(keys, f"{prefix}.embeddings.LayerNorm", hidden)
     for i in range(layers):
-        p = f"{prefix}.encoder.layer.{i}"
-        for qkv in ("query", "key", "value"):
-            _lin(keys, f"{p}.attention.self.{qkv}", hidden, hidden)
-        _lin(keys, f"{p}.attention.output.dense", hidden, hidden)
-        _ln(keys, f"{p}.attention.output.LayerNorm", hidden)
-        _lin(keys, f"{p}.intermediate.dense", inter, hidden)
-        _lin(keys, f"{p}.output.dense", hidden, inter)
-        _ln(keys, f"{p}.output.LayerNorm", hidden)
+        _bert_layer(keys, f"{prefix}.encoder.layer.{i}", hidden, inter)
     _lin(keys, f"{prefix}.pooler.dense", hidden, hidden)
     return keys, bufs
 
@@ -289,6 +282,124 @@ def gdino_manifest(variant: str = "swinB", enc_layers: int = 6,
     _ln(keys, f"{t}.decoder.norm", d)
     for j, (o, i_) in enumerate(((d, 2 * d), (d, d))):
         _lin(keys, f"{t}.decoder.ref_point_head.layers.{j}", o, i_)
+    return keys, bufs
+
+
+# --------------------------------------------------------------------- #
+# GLIP (maskrcnn_benchmark: Swin + FPN-RetinaNet + BERT + VLDyHead)
+# --------------------------------------------------------------------- #
+
+
+def _bert_layer(keys: Dict[str, Shape], p: str, hidden: int = 768,
+                inter: int = 3072) -> None:
+    """One HF-style BERT encoder layer (used by BertModel AND by the
+    BertEncoderLayer instances inside GLIP's dyhead tower)."""
+    for qkv in ("query", "key", "value"):
+        _lin(keys, f"{p}.attention.self.{qkv}", hidden, hidden)
+    _lin(keys, f"{p}.attention.output.dense", hidden, hidden)
+    _ln(keys, f"{p}.attention.output.LayerNorm", hidden)
+    _lin(keys, f"{p}.intermediate.dense", inter, hidden)
+    _lin(keys, f"{p}.output.dense", hidden, inter)
+    _ln(keys, f"{p}.output.LayerNorm", hidden)
+
+
+def glip_manifest(variant: str = "swinL", num_blocks: int = 8,
+                  num_classes: int = 80
+                  ) -> Tuple[Dict[str, Shape], Set[str]]:
+    """The official ``glip_large_model.pth`` / ``glip_tiny_*.pth``
+    'model' dict layout (microsoft/GLIP maskrcnn_benchmark fork), per
+    the published model code and the reference's build surface
+    (``coin/modeling/meta_arch/glip_model.py:112-132`` +
+    ``configs/GLIP/glip_Swin_L.yaml``: SWINT-FPN-RETINANET backbone,
+    VLDYHEAD with NUM_CONVS=8, USE_GN/USE_DYRELU/USE_DFCONV/USE_DYFUSE,
+    EARLY_FUSE_ON MHA-B, USE_FUSED_FEATURES_DOT_PRODUCT).
+
+    Layout facts pinned here:
+      - backbone: ``backbone.body.*`` (swin, mmdet-style port) +
+        ``backbone.fpn.fpn_inner{2,3,4}/fpn_layer{2,3,4}`` and
+        RetinaNet ``top_blocks.{p6,p7}``.
+      - language: ``language_backbone.body.model.*`` = HF BertModel.
+      - dyhead tower interleaves THREE modules per conv block i:
+        ``dyhead_tower.{3i}``   VLFuse (``b_attn`` BiAttention,
+                                embed 2048, v_dim 256, l_dim 768),
+        ``dyhead_tower.{3i+1}`` BertEncoderLayer (the language path),
+        ``dyhead_tower.{3i+2}`` DyConv (3× deform conv + GroupNorm(16),
+                                shared ``offset`` net, ``AttnConv``
+                                scale attention, DYReLU ``relu.fc``).
+      - head: ``dot_product_projection_image`` is ``nn.Identity`` (NO
+        params); text side is ``dot_product_projection_text`` +
+        ``log_scale``/``bias_lang``/``bias0``; per-level ``scales``;
+        ``cls_logits`` exists in the checkpoint but is unused by the
+        token-based inference path.
+
+    Known residual uncertainties (documented, not silently guessed
+    away): the deform convs' bias presence (pinned: present — DCNv2
+    modules in the GLIP fork carry bias) and GroupNorm group count
+    (pinned: 16, the DyHead convention). ``tools/verify_assets.py``
+    diffs a real checkpoint against this manifest the moment assets
+    mount, which surfaces either immediately."""
+    d = 256                    # DYHEAD.CHANNELS
+    lang = 768
+    fuse_embed = 2048          # FUSE_CONFIG MHA-B embed dim
+    keys, bufs = swin_manifest(variant, prefix="backbone.body")
+    bk, bb = bert_manifest(prefix="language_backbone.body.model")
+    keys.update(bk)
+    bufs |= bb
+
+    # FPN (maskrcnn_benchmark fpn_module.FPN over swin stages 2-4,
+    # RetinaNet LastLevelP6P7 on P5)
+    embed, _, _, _ = _SWIN[variant]
+    chans = {2: embed * 2, 3: embed * 4, 4: embed * 8}
+    for idx in (2, 3, 4):
+        keys[f"backbone.fpn.fpn_inner{idx}.weight"] = (d, chans[idx], 1, 1)
+        keys[f"backbone.fpn.fpn_inner{idx}.bias"] = (d,)
+        keys[f"backbone.fpn.fpn_layer{idx}.weight"] = (d, d, 3, 3)
+        keys[f"backbone.fpn.fpn_layer{idx}.bias"] = (d,)
+    for p67 in ("p6", "p7"):
+        keys[f"backbone.fpn.top_blocks.{p67}.weight"] = (d, d, 3, 3)
+        keys[f"backbone.fpn.top_blocks.{p67}.bias"] = (d,)
+
+    tower = "rpn.head.dyhead_tower"
+    for i in range(num_blocks):
+        # --- VLFuse ---
+        p = f"{tower}.{3 * i}.b_attn"
+        keys[f"{p}.gamma_v"] = (d,)
+        keys[f"{p}.gamma_l"] = (lang,)
+        _ln(keys, f"{p}.layer_norm_v", d)
+        _ln(keys, f"{p}.layer_norm_l", lang)
+        for proj, i_ in (("v_proj", d), ("l_proj", lang),
+                         ("values_v_proj", d), ("values_l_proj", lang)):
+            _lin(keys, f"{p}.attn.{proj}", fuse_embed, i_)
+        _lin(keys, f"{p}.attn.out_v_proj", d, fuse_embed)
+        _lin(keys, f"{p}.attn.out_l_proj", lang, fuse_embed)
+        # --- language path: BertEncoderLayer ---
+        _bert_layer(keys, f"{tower}.{3 * i + 1}")
+        # --- DyConv ---
+        p = f"{tower}.{3 * i + 2}"
+        for j in range(3):
+            keys[f"{p}.DyConv.{j}.conv.weight"] = (d, d, 3, 3)
+            keys[f"{p}.DyConv.{j}.conv.bias"] = (d,)
+            _ln(keys, f"{p}.DyConv.{j}.bn", d)      # GroupNorm(16, d)
+        keys[f"{p}.offset.weight"] = (27, d, 3, 3)
+        keys[f"{p}.offset.bias"] = (27,)
+        keys[f"{p}.AttnConv.1.weight"] = (1, d, 1, 1)
+        keys[f"{p}.AttnConv.1.bias"] = (1,)
+        _lin(keys, f"{p}.relu.fc.0", d // 4, d)
+        _lin(keys, f"{p}.relu.fc.2", 4 * d, d // 4)
+
+    head = "rpn.head"
+    keys[f"{head}.cls_logits.weight"] = (num_classes, d, 1, 1)
+    keys[f"{head}.cls_logits.bias"] = (num_classes,)
+    keys[f"{head}.bbox_pred.weight"] = (4, d, 1, 1)
+    keys[f"{head}.bbox_pred.bias"] = (4,)
+    keys[f"{head}.centerness.weight"] = (1, d, 1, 1)
+    keys[f"{head}.centerness.bias"] = (1,)
+    _lin(keys, f"{head}.dot_product_projection_text", d, lang)
+    keys[f"{head}.log_scale"] = (1,)
+    keys[f"{head}.bias_lang"] = (lang,)
+    keys[f"{head}.bias0"] = (1,)
+    for s in range(5):
+        keys[f"{head}.scales.{s}.scale"] = (1,)
     return keys, bufs
 
 

@@ -58,6 +58,27 @@ def test_verify_assets_gdino_drill(tmp_path):
 
 
 @pytest.mark.slow
+def test_verify_assets_glip_drill(tmp_path):
+    """Manifest-built GLIP checkpoint (OFFICIAL maskrcnn_benchmark key
+    layout — glip_manifest, round 4) through the real CLI: FPN + tower
+    + head conversion, BERT build from language_backbone.*, one
+    forward; manifest diff must be clean; exit code 0."""
+    import verify_assets as VA
+    from coin_tpu.models import manifests as M
+
+    keys, _ = M.glip_manifest("swinT", num_blocks=2)
+    ckpt = str(tmp_path / "glip_synth.pth")
+    _save_pt(ckpt, keys, extra_wrap="model")
+    vocab = str(tmp_path / "vocab.txt")
+    _bert_vocab(vocab)
+
+    rc = VA.main(["--glip", ckpt, "--bert-vocab", vocab,
+                  "--variant-glip", "swinT",
+                  "--classes", "car,person"])
+    assert rc == 0
+
+
+@pytest.mark.slow
 def test_verify_assets_clip_drill(tmp_path):
     """Manifest-built OpenAI CLIP RN50 checkpoint through the CLI:
     visual+text conversion, scorer forward, backbone load; exit 0."""

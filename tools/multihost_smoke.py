@@ -33,6 +33,12 @@ def main(argv=None):
                         "pretrain steps -> per-rank eval) instead of "
                         "the primitive smoke")
     p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--stage", choices=("all", "collect"), default="all",
+                   help="pipeline scope: 'collect' stops after the "
+                        "sharded-collect -> union stage (no jitted "
+                        "training/eval compiles) so the distributed "
+                        "union proof runs even on boxes where the full "
+                        "train stage would exceed a CI budget")
     p.add_argument("--out", default="", help="JSON result path (pipeline)")
     args = p.parse_args(argv)
 
@@ -204,6 +210,19 @@ def run_pipeline(args):
     assert len(store) == len(records), (len(store), len(records))
     union_ids = sorted(store.image_ids())
 
+    if args.stage == "collect":
+        result = {
+            "rank": rank, "world": world,
+            "union_md5": hashlib.md5(
+                "|".join(union_ids).encode()).hexdigest(),
+            "n_union": len(union_ids),
+        }
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(result, f)
+        print("PIPELINE_RESULT " + json.dumps(result))
+        return
+
     # ---- stage 2: data-parallel pretrain over the global mesh ----
     cfg = load_config()
     cfg.DATASETS.ROOT = root
@@ -231,7 +250,7 @@ def run_pipeline(args):
     cfg.TPU.TEXT_HEADS = 2
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.CAP_TEACHER = 16
-    cfg.CLOUD.PROTOTYPE_UPDATE_START = 10
+    cfg.CLOUD.PROTOTYPE_UPDATE_START = min(10, max(args.steps // 2, 1))
 
     tr = PRETrainer(cfg, store=store)
     # manual step loop (no checkpoint/eval hooks): every process feeds

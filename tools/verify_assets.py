@@ -140,6 +140,20 @@ def check_glip(path, vocab, variant, classes):
     cfg.MODEL.TEACHER_CLOUD.WEIGHT = path
     cfg.MODEL.TEACHER_CLOUD.TYPE = variant
     cfg.TPU.BERT_VOCAB = vocab
+
+    # key-layout audit against the declared official manifest BEFORE
+    # converting, so a drifted layout is reported, not crashed on
+    import torch
+    from coin_tpu.models import manifests as M
+    from coin_tpu.models.convert_gdino import clean_state_dict
+    sd = torch.load(path, map_location="cpu")
+    sd = clean_state_dict(sd.get("model", sd))
+    blocks = 1 + max((int(k.split("dyhead_tower.")[1].split(".")[0])
+                      for k in sd if "dyhead_tower." in k),
+                     default=23) // 3
+    keys, bufs = M.glip_manifest(variant, num_blocks=blocks)
+    note = _manifest_note(M.diff_keys(sd.keys(), keys, bufs))
+
     from coin_tpu.engine.cloud_factory import build_cloud_detector
     det = build_cloud_detector(cfg, "GLIP", classes)
     imgs = jnp.zeros((1, 256, 256, 3), jnp.uint8)
@@ -147,7 +161,7 @@ def check_glip(path, vocab, variant, classes):
     out = det(imgs, hw)
     n = int(np.asarray(out.valid).sum())
     assert np.isfinite(np.asarray(out.boxes)).all()
-    return f"forward ok, {n} detections above threshold"
+    return f"forward ok, {n} detections above threshold; {note}"
 
 
 def check_pckl(path, dataset, root):
