@@ -250,10 +250,22 @@ def default_config() -> CfgNode:
             # serving: dynamic-int8 convs at inference (Int8Conv); training
             # numerics are never affected. Measure with tools/bench_serving.
             "INT8_INFERENCE": False,
+            # dynamic-int8 convs for the TEACHER_REFRESH_EPOCHS
+            # collection pass only (pure inference; needs its own A/B —
+            # validate_cached_teacher.py --mode refresh_int8)
+            "INT8_COLLECT": False,
+            # dynamic-int8 TRAINING compute for the res5 tower (int8 fwd
+            # + int8 dgrad + int8 wgrad, ops/qconv.py): the only
+            # mathematical path past the bf16 FLOP ceiling (BENCH.md).
+            # Semantic knob — ships only with a fixture-v3 A/B artifact
+            # (validate_cached_teacher.py --mode int8train)
+            "INT8_TRAIN": False,
             # step_two teacher-refresh period in epochs (0 = off = exact
             # parity): predictions from a batched collection pass every N
-            # epochs instead of a per-step teacher tower. UNVALIDATED
-            # staleness approximation — never in a shipped recipe.
+            # epochs instead of a per-step teacher tower. Staleness
+            # approximation, A/B PASS on fixture v3
+            # (bench_artifacts/ab_refresh_v3_s8.json) — shipped at 4 in
+            # foggy_fast.yaml; 0 in the parity recipe.
             "TEACHER_REFRESH_EPOCHS": 0,
         },
     })

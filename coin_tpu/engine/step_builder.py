@@ -29,7 +29,10 @@ Three flavors share one ``step_body``:
     trajectory, but its PREDICTIONS are refreshed only every
     TPU.TEACHER_REFRESH_EPOCHS epochs by a batched collection pass
     (trainer.refresh loop) instead of per-step. A staleness
-    approximation — off by default, never in a validated recipe.
+    approximation, adjudicated PASS on the A/A-calibrated fixture-v3
+    A/B (bench_artifacts/ab_refresh_v3_s8.json: avg3 delta +0.35,
+    CI95 [-0.78, +1.48], n=8) — shipped in foggy_fast.yaml; off in
+    the exact-parity recipe (foggy.yaml).
 """
 
 from __future__ import annotations

@@ -167,10 +167,18 @@ class CoinTrainer(DetectorTrainerBase):
 
         if self._collect_infer is None:
             pcfg = self.teacher_pcfg
+            # TPU.INT8_COLLECT: run the collection pass with the
+            # dynamic-int8 serving convs (the pass is pure inference;
+            # int8 MXU is ~1.8x bf16 at the hot shapes — BENCH.md). A
+            # semantic knob: ship only with its own A/B artifact
+            # (validate_cached_teacher.py --mode refresh_int8).
+            infer_model = (self.model.clone(quant_convs=True)
+                           if self.cfg.get_path("TPU.INT8_COLLECT", False)
+                           else self.model)
 
             @jax.jit
             def infer(variables, images_u8, hw, tokens):
-                return pipelines.inference(self.model, variables,
+                return pipelines.inference(infer_model, variables,
                                            normalize_batch(images_u8),
                                            hw, tokens, pcfg)
 
@@ -252,9 +260,9 @@ class CoinTrainer(DetectorTrainerBase):
         # instead of a per-step teacher tower, refresh the whole
         # prediction store with a batched collection pass every N epochs
         # (teacher weights keep their exact EMA trajectory; only the
-        # predictions go stale). 0 = off = reference parity. An
-        # UNVALIDATED approximation — never in a shipped recipe; re-test
-        # on real data (the synthetic fixture cannot adjudicate it).
+        # predictions go stale). 0 = off = reference parity. Fixture-v3
+        # A/B PASS (bench_artifacts/ab_refresh_v3_s8.json); shipped in
+        # foggy_fast.yaml.
         refresh_steps = self._refresh_epochs * max(
             len(self.train_loader.records)
             // cfg.SOLVER.IMG_PER_BATCH_UNLABEL, 1)

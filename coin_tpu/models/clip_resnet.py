@@ -92,8 +92,33 @@ class Int8Conv(nn.Module):
         return (out.astype(jnp.float32) * (xs * ks)).astype(self.dtype)
 
 
+class Int8TrainConv(nn.Module):
+    """Dynamic-int8 conv for the TRAINING path (TPU.INT8_TRAIN): int8
+    forward + int8 input-gradient (+ optional int8 weight-gradient) via
+    ops.qconv.int8_train_conv. Parameter name/shape/init match nn.Conv
+    so checkpoints load unchanged. A semantic knob — ships only with a
+    fixture-v3 A/B artifact (BENCH.md)."""
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    wgrad_int8: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from coin_tpu.ops.qconv import int8_train_conv
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features))
+        out = int8_train_conv(x, w, self.stride, self.wgrad_int8)
+        return out.astype(self.dtype)
+
+
 def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
-          quant=False):
+          quant=False, qt=False):
+    if qt:
+        return Int8TrainConv(features, kernel, stride, name=name,
+                             dtype=dtype)
     if quant:
         return Int8Conv(features, kernel, stride, name=name,
                         dtype=dtype)
@@ -114,27 +139,29 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     quant: bool = False
+    qt: bool = False
 
     @nn.compact
     def __call__(self, x):
         out = _conv(self.planes, 1, name="conv1", dtype=self.dtype,
-                    quant=self.quant)(x)
+                    quant=self.quant, qt=self.qt)(x)
         out = nn.relu(FrozenBN(self.planes, name="bn1",
                                dtype=self.dtype)(out))
         out = _conv(self.planes, 3, name="conv2", dtype=self.dtype,
-                    quant=self.quant)(out)
+                    quant=self.quant, qt=self.qt)(out)
         out = nn.relu(FrozenBN(self.planes, name="bn2",
                                dtype=self.dtype)(out))
         if self.stride > 1:
             out = _avgpool2(out, self.stride)
         out = _conv(self.planes * 4, 1, name="conv3", dtype=self.dtype,
-                    quant=self.quant)(out)
+                    quant=self.quant, qt=self.qt)(out)
         out = FrozenBN(self.planes * 4, name="bn3", dtype=self.dtype)(out)
 
         if self.stride > 1 or x.shape[-1] != self.planes * 4:
             identity = _avgpool2(x, self.stride) if self.stride > 1 else x
             identity = _conv(self.planes * 4, 1, name="downsample_conv",
-                             dtype=self.dtype, quant=self.quant)(identity)
+                             dtype=self.dtype, quant=self.quant,
+                             qt=self.qt)(identity)
             identity = FrozenBN(self.planes * 4, name="downsample_bn",
                                 dtype=self.dtype)(identity)
         else:
@@ -147,11 +174,12 @@ class _ScanBody(nn.Module):
     planes: int
     dtype: Dtype = jnp.float32
     quant: bool = False
+    qt: bool = False
 
     @nn.compact
     def __call__(self, x, _):
-        return Bottleneck(self.planes, 1, name="block",
-                          dtype=self.dtype, quant=self.quant)(x), None
+        return Bottleneck(self.planes, 1, name="block", dtype=self.dtype,
+                          quant=self.quant, qt=self.qt)(x), None
 
 
 class ResStage(nn.Module):
@@ -168,11 +196,12 @@ class ResStage(nn.Module):
     dtype: Dtype = jnp.float32
     scan: bool = False
     quant: bool = False
+    qt: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Bottleneck(self.planes, self.stride, name="0",
-                       dtype=self.dtype, quant=self.quant)(x)
+                       dtype=self.dtype, quant=self.quant, qt=self.qt)(x)
         if self.scan and self.blocks > 1:
             x, _ = nn.scan(
                 _ScanBody,
@@ -180,11 +209,11 @@ class ResStage(nn.Module):
                 split_rngs={"params": True},
                 length=self.blocks - 1,
             )(self.planes, dtype=self.dtype, quant=self.quant,
-              name="scan")(x, None)
+              qt=self.qt, name="scan")(x, None)
             return x
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, 1, name=str(i), dtype=self.dtype,
-                           quant=self.quant)(x)
+                           quant=self.quant, qt=self.qt)(x)
         return x
 
 
@@ -236,13 +265,14 @@ class Res5Head(nn.Module):
     dtype: Dtype = jnp.float32
     scan: bool = False
     quant: bool = False
+    qt: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = DEPTH_CFG[self.depth]
         return ResStage(cfg["width"] * 8, cfg["layers"][3], 2, name="layer4",
                         dtype=self.dtype, scan=self.scan,
-                        quant=self.quant)(x)
+                        quant=self.quant, qt=self.qt)(x)
 
 
 class AttentionPool2d(nn.Module):

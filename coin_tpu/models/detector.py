@@ -52,6 +52,11 @@ class OpenVocabularyRCNN(nn.Module):
     # dynamic-int8 convs in backbone+res5 (serving-path throughput lever,
     # clip_resnet.Int8Conv). Inference-only: never set on a training model.
     quant_convs: bool = False
+    # dynamic-int8 TRAINING convs in res5 (TPU.INT8_TRAIN,
+    # clip_resnet.Int8TrainConv: int8 fwd + int8 dgrad + int8 wgrad) —
+    # the hot 64% of the cached step's conv time rides the 2x int8 MXU.
+    # A semantic knob gated on its fixture-v3 A/B (BENCH.md).
+    quant_train_res5: bool = False
 
     def setup(self):
         cfg = DEPTH_CFG[self.depth]
@@ -63,7 +68,8 @@ class OpenVocabularyRCNN(nn.Module):
         self.rpn_head = RPNHead(self.num_anchors, dtype=self.compute_dtype)
         self.res5 = Res5Head(self.depth, dtype=self.compute_dtype,
                              scan=self.scan_blocks,
-                             quant=self.quant_convs)
+                             quant=self.quant_convs,
+                             qt=self.quant_train_res5)
         if self.pooling == "attnpool":
             self.attnpool = AttentionPool2d(
                 embed_dim=cfg["width"] * 32, num_heads=cfg["heads"],

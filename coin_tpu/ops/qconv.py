@@ -1,0 +1,171 @@
+"""Dynamic-int8 convolution with quantized backward — the int8
+TRAINING-compute lever (``TPU.INT8_TRAIN``).
+
+The serving path (clip_resnet.Int8Conv) quantizes only the forward.
+Training needs gradients, so this module provides ``int8_train_conv``,
+a ``jax.custom_vjp`` convolution where
+
+  - **forward**: per-tensor dynamic int8 activations × per-OUTPUT-channel
+    int8 weights, int32 MXU accumulation (same numerics as Int8Conv);
+  - **input gradient (dgrad)**: per-tensor dynamic int8 incoming
+    gradient × per-INPUT-channel requantized int8 weights (the
+    transposed kernel's non-contracted dim — per-channel scales must
+    ride a dim the int32 accumulation does not sum over), int32 MXU;
+  - **weight gradient (wgrad)**: EXACT in the operands' dtype by
+    default (the optimizer sees the gradient the bf16 conv would
+    produce), or int8 per-tensor × per-tensor under ``wgrad_int8``.
+
+Gradients are straight-through w.r.t. the quantization rounding: the
+backward treats ``y = conv(x, w)`` as exact (the standard int8-training
+recipe — quantize fwd/dgrad, keep or quantize wgrad).
+
+Why this exists: BENCH.md's bf16 FLOP-ceiling arithmetic shows the
+exact-parity recipe cannot reach the 5× throughput target at bf16 even
+at 100% MXU; the v5e int8 MXU peak is 2× bf16 (measured 1.8× at the
+production res5 shapes, tools/bench_int8.py). int8 student compute is
+a SEMANTIC knob: it ships only with a fixture-v3 A/B artifact
+(tools/validate_cached_teacher.py --mode int8train). Reference bar:
+the fp16 AMP training path, coin/engine/trainer.py:175-209 (GradScaler
++ autocast) — the reference's own reduced-precision training lever.
+
+Only stride-1 'same' convolutions take the int8 dgrad/wgrad paths
+(every conv in the CLIP ResNet stages is stride 1 — striding is
+anti-aliased through avg_pool); other geometries fall back to the
+exact formulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _per_tensor_scale(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(jnp.max(jnp.abs(a)), 1e-12) / 127.0
+
+
+def _quant(a: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(a / s), -127, 127).astype(jnp.int8)
+
+
+def _conv_i8(lhs, rhs, strides, pad, dn=_DN):
+    return lax.conv_general_dilated(
+        lhs, rhs, strides, pad, dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+
+
+def _quantize_x(x: jnp.ndarray):
+    xf = x.astype(jnp.float32)
+    xs = _per_tensor_scale(xf)
+    return _quant(xf, xs), xs
+
+
+def _fwd_parts(x: jnp.ndarray, w: jnp.ndarray, stride: int):
+    """Quantized forward; returns (value_f32, xq, xs) so the backward
+    can reuse the quantized activations (int8 residuals: half the HBM
+    of the bf16 activations, and no re-quantization pass in bwd)."""
+    k = w.shape[0]
+    p = k // 2
+    xq, xs = _quantize_x(x)
+    wf = w.astype(jnp.float32)
+    ks = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.round(wf / ks).astype(jnp.int8)
+    out = _conv_i8(xq, wq, (stride, stride), [(p, p)] * 2)
+    return out.astype(jnp.float32) * (xs * ks), xq, xs
+
+
+def _fwd_value(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    return _fwd_parts(x, w, stride)[0]
+
+
+def _exact_dgrad(x, w, g, stride: int, p: int):
+    """Transpose of the conv w.r.t. x, at the operands' dtype."""
+    def f(x_):
+        return lax.conv_general_dilated(
+            x_, w.astype(x.dtype), (stride, stride), [(p, p)] * 2,
+            dimension_numbers=_DN, preferred_element_type=jnp.float32)
+    (dx,) = jax.linear_transpose(f, x)(g.astype(jnp.float32))
+    return dx
+
+
+def _exact_wgrad(x, w, g, stride: int, p: int):
+    """Transpose of the conv w.r.t. w — the same wgrad conv the plain
+    bf16 path runs (jax.linear_transpose avoids re-running the fwd)."""
+    def f(w_):
+        return lax.conv_general_dilated(
+            x, w_, (stride, stride), [(p, p)] * 2,
+            dimension_numbers=_DN, preferred_element_type=jnp.float32)
+    (dw,) = jax.linear_transpose(f, w.astype(x.dtype))(
+        g.astype(jnp.float32))
+    return dw
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def int8_train_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
+                    wgrad_int8: bool = False) -> jnp.ndarray:
+    """int8-quantized conv with int8 dgrad (+ optional int8 wgrad).
+
+    x (N,H,W,I) in the compute dtype; w (k,k,I,O) master weights.
+    Returns f32 (N,Ho,Wo,O). ``stride``/``wgrad_int8`` are static.
+    """
+    return _fwd_value(x, w, stride)
+
+
+def _vjp_fwd(x, w, stride, wgrad_int8):
+    if wgrad_int8 and stride == 1:
+        # int8 residuals: the backward reuses the forward's quantized
+        # activations — no bwd re-quantization pass, and the saved
+        # tensor is int8 (half the bf16 bytes)
+        out, xq, xs = _fwd_parts(x, w, stride)
+        # zero-size sentinel carries x's dtype for the dx cast
+        return out, (xq, xs, w, jnp.zeros((0,), x.dtype))
+    return _fwd_value(x, w, stride), (x, w)
+
+
+def _vjp_bwd(stride, wgrad_int8, res, g):
+    int8_res = wgrad_int8 and stride == 1
+    if int8_res:
+        xq, xs, w, x_sentinel = res
+        x_dtype = x_sentinel.dtype
+    else:
+        x, w = res
+        x_dtype = x.dtype
+    k = w.shape[0]
+    p = k // 2
+    gf = g.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+
+    # ---- dgrad: dx[...,i] = Σ_o g ⊛ flip(w)[...,o,i]
+    if stride == 1:
+        gq, gs = _quantize_x(gf)
+        ks_i = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 3)),
+                           1e-12) / 127.0                 # (I,)
+        wq_i = jnp.round(wf / ks_i[None, None, :, None]).astype(jnp.int8)
+        wt = jnp.transpose(wq_i[::-1, ::-1], (0, 1, 3, 2))  # (k,k,O,I)
+        dx = _conv_i8(gq, wt, (1, 1), [(p, p)] * 2)
+        dx = dx.astype(jnp.float32) * (gs * ks_i)
+    else:  # pragma: no cover - no strided conv in the CLIP stages
+        dx = _exact_dgrad(x, w, g, stride, p)
+
+    # ---- wgrad: dw[kh,kw,i,o] = Σ_{n,h,w} x ⊛ g. As a conv, the
+    # batch dim plays the contracted input-feature role (lhs "CHWN"),
+    # the input channel the batch role, and the kernel offsets the
+    # output spatial dims ("HWNC").
+    if int8_res:
+        dw = lax.conv_general_dilated(
+            xq, gq, (1, 1), [(p, p)] * 2,
+            dimension_numbers=("CHWN", "IHWO", "HWNC"),
+            preferred_element_type=jnp.int32)
+        dw = dw.astype(jnp.float32) * (xs * gs)
+    else:
+        dw = _exact_wgrad(x, w, g, stride, p)
+
+    return dx.astype(x_dtype), dw.astype(w.dtype)
+
+
+int8_train_conv.defvjp(_vjp_fwd, _vjp_bwd)

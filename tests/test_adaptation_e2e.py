@@ -277,8 +277,35 @@ def test_refresh_cached_two_matches_live_step_two(setup):
     _, two = tr._train_step_cached_two(tr.state, *arrays, offline)
     assert set(two) == set(live)
     for k in live:
+        # looser than test_cached_step_matches_live's 1e-4: here the
+        # two arms' teacher predictions come from DIFFERENT jitted
+        # programs (the batched collection pass vs the in-step tower),
+        # whose box coordinates differ in low-order float bits; those
+        # feed discrete IoU-threshold matching, so losses agree only to
+        # the matching's sensitivity, not to reassociation noise.
         np.testing.assert_allclose(float(two[k]), float(live[k]),
                                    rtol=2e-2, atol=2e-3, err_msg=k)
+
+
+def test_int8_collect_store(setup):
+    """TPU.INT8_COLLECT: the refresh collection pass runs with the
+    dynamic-int8 serving convs. Quantization shifts values (that's the
+    knob's semantic cost — adjudicated by --mode refresh_int8), but the
+    store must cover the same images/views with finite, in-canvas
+    boxes."""
+    cfg, store = setup
+    cfg = cfg.clone()
+    cfg.MODEL.MERGE_DIM = 1024
+    cfg.TPU.INT8_COLLECT = True
+    tr = CoinTrainer(cfg, store=store)
+    s8 = tr.collect_teacher_store()
+    tr.teacher_store = s8
+    assert sorted(s8.image_ids()) == sorted(
+        r["image_id"] for r in tr.train_loader.records)
+    packed = tr._pack_offline(tr.train_loader._attach_store(
+        tr.train_loader.pack_batch([0, 1], np.array([False, True]))))
+    assert np.isfinite(packed["boxes"]).all()
+    assert packed["valid"].sum() > 0
 
 
 def test_refresh_training_loop(setup):

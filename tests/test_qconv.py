@@ -1,0 +1,121 @@
+"""int8 TRAINING conv (ops/qconv.int8_train_conv + clip_resnet.
+Int8TrainConv — the TPU.INT8_TRAIN lever).
+
+Pins: (a) the quantized forward matches the exact conv within
+quantization tolerance; (b) the int8 dgrad matches the exact conv's
+input gradient within tolerance, and the int8 wgrad formulation (the
+"CHWN/IHWO/HWNC" dimension-number conv) matches the exact weight
+gradient within tolerance; (c) with wgrad_int8=False the weight
+gradient is EXACT (bit-equal to the plain conv's, straight-through);
+(d) param-tree/checkpoint compatibility with nn.Conv; (e) the knob
+trains end-to-end through a jitted SGD loop with a decreasing loss.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coin_tpu.models.clip_resnet import Int8TrainConv, Res5Head, _conv
+from coin_tpu.ops.qconv import int8_train_conv
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+def _exact_conv(x, w, stride=1):
+    k = w.shape[0]
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(k // 2, k // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_fwd_and_grads_close_to_exact(rng, k):
+    x = jnp.asarray(rng.randn(2, 10, 10, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(k, k, 16, 24) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 10, 10, 24).astype(np.float32))
+
+    y = int8_train_conv(x, w, 1, True)
+    y_ref = _exact_conv(x, w)
+    assert _rel_err(y, y_ref) < 0.05
+
+    def f_q(x_, w_):
+        return jnp.vdot(int8_train_conv(x_, w_, 1, True), g)
+
+    def f_ref(x_, w_):
+        return jnp.vdot(_exact_conv(x_, w_), g)
+
+    dx_q, dw_q = jax.grad(f_q, argnums=(0, 1))(x, w)
+    dx_r, dw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    # two per-tensor int8 operands: a few % relative error
+    assert _rel_err(dx_q, dx_r) < 0.06, _rel_err(dx_q, dx_r)
+    assert _rel_err(dw_q, dw_r) < 0.06, _rel_err(dw_q, dw_r)
+
+
+def test_exact_wgrad_is_bit_exact(rng):
+    """wgrad_int8=False: the optimizer sees the plain conv's weight
+    gradient (straight-through estimator) exactly."""
+    x = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 8, 12) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 8, 12).astype(np.float32))
+
+    dw_q = jax.grad(
+        lambda w_: jnp.vdot(int8_train_conv(x, w_, 1, False), g))(w)
+    dw_r = jax.grad(lambda w_: jnp.vdot(_exact_conv(x, w_), g))(w)
+    np.testing.assert_array_equal(np.asarray(dw_q), np.asarray(dw_r))
+
+
+def test_bf16_dtypes_round_trip(rng):
+    """Production dtypes: bf16 activations, f32 master weights —
+    tangents must come back in the primal dtypes."""
+    x = jnp.asarray(rng.randn(1, 6, 6, 8).astype(np.float32)).astype(
+        jnp.bfloat16)
+    w = jnp.asarray((rng.randn(3, 3, 8, 8) * 0.1).astype(np.float32))
+    g = jnp.ones((1, 6, 6, 8), jnp.float32)
+    dx, dw = jax.grad(
+        lambda x_, w_: jnp.vdot(int8_train_conv(x_, w_, 1, True), g),
+        argnums=(0, 1))(x, w)
+    assert dx.dtype == jnp.bfloat16
+    assert dw.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(dw)))
+
+
+def test_module_checkpoint_compatible(rng):
+    x = jnp.asarray(rng.randn(2, 12, 12, 32).astype(np.float32))
+    exact = _conv(24, 3)
+    qt = Int8TrainConv(24, 3)
+    params = exact.init(jax.random.key(0), x)
+    qparams = qt.init(jax.random.key(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(qparams)
+    assert [p.shape for p in jax.tree.leaves(params)] == \
+        [p.shape for p in jax.tree.leaves(qparams)]
+    assert _rel_err(qt.apply(params, x), exact.apply(params, x)) < 0.05
+
+
+def test_res5_qt_trains(rng):
+    """End-to-end: a jitted SGD loop through the int8-train res5 head
+    reduces a regression loss (grads are real, scales stay finite)."""
+    head = Res5Head(depth=50, qt=True)
+    x = jnp.asarray(rng.randn(4, 8, 8, 1024).astype(np.float32))
+    params = head.init(jax.random.key(0), x)
+    target = jnp.zeros((4, 4, 4, 2048), jnp.float32)
+
+    @jax.jit
+    def step(p):
+        def loss_fn(p_):
+            out = head.apply(p_, x).astype(jnp.float32)
+            return jnp.mean((out - target) ** 2)
+        l, gr = jax.value_and_grad(loss_fn)(p)
+        return jax.tree.map(lambda a, b: a - 1e-3 * b, p, gr), l
+
+    losses = []
+    for _ in range(8):
+        params, l = step(params)
+        losses.append(float(l))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -213,7 +213,9 @@ def main(argv=None):
                         "without redoing chip time")
     p.add_argument("--mode", choices=("aa", "cache", "fasthead",
                                       "roibatch", "budget", "batch",
-                                      "batch_live", "refresh"),
+                                      "batch_live", "refresh",
+                                      "refresh_int8", "roibatch75",
+                                      "int8train"),
                    default="cache")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
@@ -310,6 +312,31 @@ def main(argv=None):
             cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
+        elif args.mode == "roibatch75":
+            # the production 512 -> 384 cut at fixture scale (64 -> 48):
+            # a 25% res5-crop reduction — the largest remaining FLOP
+            # lever (BENCH.md ceiling table). The 50% cut failed its
+            # v2 A/B; this adjudicates the gentler cut on fixture v3.
+            names = ("roi_full", "roi_75")
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = (
+                cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE * 3) // 4
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
+        elif args.mode == "int8train":
+            # TPU.INT8_TRAIN: dynamic-int8 res5 training compute (int8
+            # fwd + dgrad + wgrad, ops/qconv.py) vs the exact path —
+            # both arms cached step_one (the phase 2/3 of scheduled
+            # images run in). The var arm also EVALUATES with the int8
+            # forward (train/test consistency), so the delta measures
+            # the knob's full end-to-end cost.
+            names = ("fp_train", "int8_train")
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            cfg_var.TPU.INT8_TRAIN = True
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
         elif args.mode == "refresh":
             # step_two teacher-refresh lever (TPU.TEACHER_REFRESH_EPOCHS):
             # live per-step teacher vs predictions refreshed by a batched
@@ -321,6 +348,20 @@ def main(argv=None):
             base_ap, base_t = run_one(cfg_base, store, cache=False,
                                       weights=ckpt)
             cfg_var.TPU.TEACHER_REFRESH_EPOCHS = 4
+            var_ap, var_t = run_one(cfg_var, store, cache=False,
+                                    weights=ckpt)
+        elif args.mode == "refresh_int8":
+            # the SHIPPED refresh recipe with int8 collection vs exact
+            # live step_two: adjudicates refresh staleness AND the
+            # dynamic-int8 teacher quantization together (the combined
+            # semantics of TEACHER_REFRESH_EPOCHS=4 + INT8_COLLECT).
+            names = ("live_two", "refresh_int8_two")
+            cfg_base.CLOUD.BURN_UP_STEP = 0
+            cfg_var.CLOUD.BURN_UP_STEP = 0
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
+                                      weights=ckpt)
+            cfg_var.TPU.TEACHER_REFRESH_EPOCHS = 4
+            cfg_var.TPU.INT8_COLLECT = True
             var_ap, var_t = run_one(cfg_var, store, cache=False,
                                     weights=ckpt)
         elif args.mode == "budget":
