@@ -456,6 +456,65 @@ def main():
     }))
 
 
+def _preempt_ab_campaigns() -> None:
+    """The chip does NOT time-share across processes (a second client
+    blocks until the holder exits — probed round 4), and long A/B
+    campaigns (tools/validate_cached_teacher.py) are deliberately left
+    running detached between sessions. bench.py is the round's
+    measurement of record, so it preempts them: each campaign launcher
+    registers its pid in /tmp/coin_ab_*.pid, and we kill exactly those
+    pids — after verifying via /proc/<pid>/cmdline that the process
+    really is the registered campaign (never a name-pattern kill; a
+    recycled pid is left alone). Campaigns checkpoint a .partial
+    artifact after every seed, so preemption loses at most one seed."""
+    import glob
+    import signal
+
+    def children_of(pid: int) -> list:
+        """Direct children via /proc ppid fields — an exact-identity
+        walk, not a name-pattern match (GNU timeout re-groups its
+        child, so a process-group kill alone can miss the python)."""
+        kids = []
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                fields = open(stat).read().rsplit(")", 1)[1].split()
+                if int(fields[1]) == pid:          # field 4 = ppid
+                    kids.append(int(stat.split("/")[2]))
+            except (OSError, ValueError, IndexError):
+                continue
+        return kids
+
+    # sorted: coin_ab_chain.pid first — the chain launcher must die
+    # before the campaign it would otherwise immediately relaunch
+    for pidfile in sorted(glob.glob("/tmp/coin_ab_*.pid")):
+        try:
+            pid = int(open(pidfile).read().split()[0])
+            cmdline = open(f"/proc/{pid}/cmdline", "rb").read() \
+                .replace(b"\0", b" ").decode()
+        except (OSError, ValueError, IndexError):
+            continue
+        if ("validate_cached_teacher" not in cmdline
+                and "ab_chain" not in cmdline):
+            continue  # pid recycled by an unrelated process
+        # kill the whole verified tree, leaves first
+        tree, frontier = [pid], [pid]
+        while frontier:
+            nxt = [k for p in frontier for k in children_of(p)]
+            tree.extend(nxt)
+            frontier = nxt
+        for p in reversed(tree):
+            try:
+                os.kill(p, signal.SIGTERM)
+            except OSError:
+                pass
+        print(f"# preempted A/B campaign pid tree {tree} ({pidfile})",
+              flush=True)
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
+
+
 def _backend_alive(budget_s: float) -> bool:
     """Probe TPU backend readiness in a SUBPROCESS (a failed axon init
     can wedge the parent's jax state), retrying with backoff up to
@@ -487,6 +546,7 @@ def _backend_alive(budget_s: float) -> bool:
 
 
 if __name__ == "__main__":
+    _preempt_ab_campaigns()
     budget = float(os.environ.get("COIN_BENCH_BACKEND_WAIT", "900"))
     if _backend_alive(budget):
         main()
