@@ -230,12 +230,22 @@ def main():
     # the rate lever that matters; it is a SEMANTIC knob measured here
     # in the two recipe step flavors and shipped only with its
     # fixture-v3 A/B artifact (--mode int8train).
-    model_i8 = model.clone(quant_train_res5=True)
+    model_i8 = model.clone(quant_train_res5=1)
     _, cached_i8, cached_two_i8 = build_adaptation_steps(
         model_i8, merge_model, tx, merge_tx, tokens, pcfg, pcfg_t512,
         hyper, with_cached_two=True)
     variants["cached_i8"] = (cached_i8, True, b)
     variants["cached_two_i8"] = (cached_two_i8, True, b)
+    # wgrad-exact variant (TPU.INT8_TRAIN_WGRAD: false — int8
+    # fwd+dgrad, bit-exact weight gradients): the numerically safer
+    # fallback if the full-int8 A/B shows an AP cost; forgoes the
+    # wgrad third of the int8 speedup (--mode int8train_wx).
+    model_i8wx = model.clone(quant_train_res5=2)
+    _, cached_i8wx, cached_two_i8wx = build_adaptation_steps(
+        model_i8wx, merge_model, tx, merge_tx, tokens, pcfg, pcfg_t512,
+        hyper, with_cached_two=True)
+    variants["cached_i8wx"] = (cached_i8wx, True, b)
+    variants["cached_two_i8wx"] = (cached_two_i8wx, True, b)
 
     # ---- teacher collection pass (the refresh lever's amortized cost;
     # also the stage-1 collect) ---- teacher-only inference at the
@@ -407,6 +417,10 @@ def main():
                               rate["collect"], rate["cached_two_i8"])
     weighted_int8train = (sched(rate["cached_i8"], eff_two_i8t)
                           if eff_two_i8t else None)
+    eff_two_i8wx = eff_refresh(rate.get("collect_int8") or
+                               rate["collect"], rate["cached_two_i8wx"])
+    weighted_int8train_wx = (sched(rate["cached_i8wx"], eff_two_i8wx)
+                             if eff_two_i8wx else None)
     print(json.dumps({
         "metric": "adaptation_images_per_sec_per_chip",
         # HEADLINE = the foggy_fast.yaml recipe: cached step_one +
@@ -446,6 +460,11 @@ def main():
         "cached_two_int8train_step": round(rate["cached_two_i8"], 3),
         "weighted_int8train": (round(weighted_int8train, 3)
                                if weighted_int8train else None),
+        "cached_int8train_wx_step": round(rate["cached_i8wx"], 3),
+        "cached_two_int8train_wx_step": round(rate["cached_two_i8wx"],
+                                              3),
+        "weighted_int8train_wx": (round(weighted_int8train_wx, 3)
+                                  if weighted_int8train_wx else None),
         "timing": "async dependency-chained (production dispatch mode; "
                   "tail device_get forces real execution)",
         "live_step_synced": round(b / best_sync["live"], 3),

@@ -260,6 +260,13 @@ def default_config() -> CfgNode:
             # Semantic knob — ships only with a fixture-v3 A/B artifact
             # (validate_cached_teacher.py --mode int8train)
             "INT8_TRAIN": False,
+            # with INT8_TRAIN: quantize the weight-gradient conv too
+            # (True = full int8, the max-rate variant) or keep it
+            # exact (False = int8 fwd+dgrad only — the optimizer sees
+            # the plain conv's weight gradient bit-exactly; the
+            # fallback variant when the full-int8 A/B shows an AP
+            # cost; --mode int8train_wx)
+            "INT8_TRAIN_WGRAD": True,
             # step_two teacher-refresh period in epochs (0 = off = exact
             # parity): predictions from a batched collection pass every N
             # epochs instead of a per-step teacher tower. Staleness

@@ -139,7 +139,10 @@ class DetectorTrainerBase:
             scan_blocks=cfg.get_path("TPU.SCAN_BLOCKS", False),
             box_reg_classes=(1 if cfg.MODEL.ROI_BOX_HEAD
                              .CLS_AGNOSTIC_BBOX_REG else self.num_classes),
-            quant_train_res5=cfg.get_path("TPU.INT8_TRAIN", False),
+            quant_train_res5=(
+                0 if not cfg.get_path("TPU.INT8_TRAIN", False)
+                else (1 if cfg.get_path("TPU.INT8_TRAIN_WGRAD", True)
+                      else 2)),
         )
         self.pcfg = pipeline_config_from(cfg, self.num_classes)
         self.loss_weights = loss_weights_from(cfg)

@@ -115,10 +115,15 @@ class Int8TrainConv(nn.Module):
 
 
 def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
-          quant=False, qt=False):
+          quant=False, qt=0):
+    # qt is the int8-TRAINING mode (threaded from
+    # detector.quant_train_res5): 0 = off, 1 = full int8
+    # (fwd+dgrad+wgrad), 2 = wgrad-exact (int8 fwd+dgrad, the
+    # optimizer sees the plain conv's weight gradient bit-exactly —
+    # the fallback when the full-int8 A/B shows an AP cost)
     if qt:
         return Int8TrainConv(features, kernel, stride, name=name,
-                             dtype=dtype)
+                             dtype=dtype, wgrad_int8=(int(qt) != 2))
     if quant:
         return Int8Conv(features, kernel, stride, name=name,
                         dtype=dtype)
@@ -139,7 +144,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     quant: bool = False
-    qt: bool = False
+    qt: int = 0          # int8-train mode: 0 off, 1 full, 2 wgrad-exact
 
     @nn.compact
     def __call__(self, x):
@@ -174,7 +179,7 @@ class _ScanBody(nn.Module):
     planes: int
     dtype: Dtype = jnp.float32
     quant: bool = False
-    qt: bool = False
+    qt: int = 0          # int8-train mode: 0 off, 1 full, 2 wgrad-exact
 
     @nn.compact
     def __call__(self, x, _):
@@ -196,7 +201,7 @@ class ResStage(nn.Module):
     dtype: Dtype = jnp.float32
     scan: bool = False
     quant: bool = False
-    qt: bool = False
+    qt: int = 0          # int8-train mode: 0 off, 1 full, 2 wgrad-exact
 
     @nn.compact
     def __call__(self, x):
@@ -265,7 +270,7 @@ class Res5Head(nn.Module):
     dtype: Dtype = jnp.float32
     scan: bool = False
     quant: bool = False
-    qt: bool = False
+    qt: int = 0          # int8-train mode: 0 off, 1 full, 2 wgrad-exact
 
     @nn.compact
     def __call__(self, x):

@@ -53,10 +53,12 @@ class OpenVocabularyRCNN(nn.Module):
     # clip_resnet.Int8Conv). Inference-only: never set on a training model.
     quant_convs: bool = False
     # dynamic-int8 TRAINING convs in res5 (TPU.INT8_TRAIN,
-    # clip_resnet.Int8TrainConv: int8 fwd + int8 dgrad + int8 wgrad) —
-    # the hot 64% of the cached step's conv time rides the 2x int8 MXU.
-    # A semantic knob gated on its fixture-v3 A/B (BENCH.md).
-    quant_train_res5: bool = False
+    # clip_resnet.Int8TrainConv) — the hot 64% of the cached step's
+    # conv time rides the 2x int8 MXU. Mode int: 0 = off, 1 = full
+    # int8 (fwd+dgrad+wgrad), 2 = wgrad-exact (int8 fwd+dgrad, exact
+    # weight gradients — TPU.INT8_TRAIN_WGRAD: false). A semantic knob
+    # gated on its fixture-v3 A/B (BENCH.md).
+    quant_train_res5: int = 0
 
     def setup(self):
         cfg = DEPTH_CFG[self.depth]

@@ -97,6 +97,28 @@ def test_module_checkpoint_compatible(rng):
     assert _rel_err(qt.apply(params, x), exact.apply(params, x)) < 0.05
 
 
+def test_qt_mode2_wgrad_exact(rng):
+    """qt=2 (TPU.INT8_TRAIN_WGRAD: false): the module's weight
+    gradient is bit-equal to the plain conv's while the forward stays
+    int8-quantized."""
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+    exact = _conv(8, 3)
+    qt2 = _conv(8, 3, qt=2)
+    params = exact.init(jax.random.key(1), x)
+
+    y = qt2.apply(params, x)
+    assert _rel_err(y, exact.apply(params, x)) < 0.05
+    assert not np.array_equal(np.asarray(y),
+                              np.asarray(exact.apply(params, x)))
+
+    dw_q = jax.grad(lambda p: jnp.vdot(qt2.apply(p, x), g))(params)
+    dw_r = jax.grad(lambda p: jnp.vdot(exact.apply(p, x), g))(params)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(dw_q)[0]),
+        np.asarray(jax.tree.leaves(dw_r)[0]))
+
+
 def test_res5_qt_trains(rng):
     """End-to-end: a jitted SGD loop through the int8-train res5 head
     reduces a regression loss (grads are real, scales stay finite)."""

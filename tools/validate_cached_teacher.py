@@ -215,7 +215,7 @@ def main(argv=None):
                                       "roibatch", "budget", "batch",
                                       "batch_live", "refresh",
                                       "refresh_int8", "roibatch75",
-                                      "int8train"),
+                                      "int8train", "int8train_wx"),
                    default="cache")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
@@ -322,6 +322,19 @@ def main(argv=None):
                                       weights=ckpt)
             cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = (
                 cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE * 3) // 4
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
+        elif args.mode == "int8train_wx":
+            # the wgrad-exact int8 variant (TPU.INT8_TRAIN_WGRAD:
+            # false): int8 fwd+dgrad but bit-exact weight gradients —
+            # the fallback adjudicated when full int8 (--mode
+            # int8train) shows an AP cost, isolating whether wgrad
+            # quantization is the culprit. Same arms otherwise.
+            names = ("fp_train", "int8wx_train")
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            cfg_var.TPU.INT8_TRAIN = True
+            cfg_var.TPU.INT8_TRAIN_WGRAD = False
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
         elif args.mode == "int8train":
