@@ -247,6 +247,17 @@ def main():
     variants["cached_i8wx"] = (cached_i8wx, True, b)
     variants["cached_two_i8wx"] = (cached_two_i8wx, True, b)
 
+    # student ROI batch 512 -> 384 (the roibatch75 knob): a 25% cut of
+    # the res5-crop FLOPs, adjudicated by --mode roibatch75 on fixture
+    # v3. Measured as headroom; becomes the recipe only with a PASS
+    # artifact (bench_artifacts/ab_roibatch75_v3_s8.json).
+    pcfg_r384 = dataclasses.replace(pcfg, roi_batch_size=384)
+    _, cached_r384, cached_two_r384 = build_adaptation_steps(
+        model, merge_model, tx, merge_tx, tokens, pcfg_r384, pcfg_t512,
+        hyper, with_cached_two=True)
+    variants["cached_r384"] = (cached_r384, True, b)
+    variants["cached_two_r384"] = (cached_two_r384, True, b)
+
     # ---- teacher collection pass (the refresh lever's amortized cost;
     # also the stage-1 collect) ---- teacher-only inference at the
     # fast-recipe budget, timed CHAINED via a carry (the serving-bench
@@ -421,6 +432,10 @@ def main():
                                rate["collect"], rate["cached_two_i8wx"])
     weighted_int8train_wx = (sched(rate["cached_i8wx"], eff_two_i8wx)
                              if eff_two_i8wx else None)
+    eff_two_r384 = eff_refresh(rate["collect"],
+                               rate["cached_two_r384"])
+    weighted_r384 = (sched(rate["cached_r384"], eff_two_r384)
+                     if eff_two_r384 else None)
     print(json.dumps({
         "metric": "adaptation_images_per_sec_per_chip",
         # HEADLINE = the foggy_fast.yaml recipe: cached step_one +
@@ -465,6 +480,12 @@ def main():
                                               3),
         "weighted_int8train_wx": (round(weighted_int8train_wx, 3)
                                   if weighted_int8train_wx else None),
+        # roibatch75 knob (student ROI 512->384) — headroom until its
+        # A/B artifact lands (--mode roibatch75)
+        "cached_r384_step": round(rate["cached_r384"], 3),
+        "cached_two_r384_step": round(rate["cached_two_r384"], 3),
+        "weighted_r384": (round(weighted_r384, 3)
+                          if weighted_r384 else None),
         "timing": "async dependency-chained (production dispatch mode; "
                   "tail device_get forces real execution)",
         "live_step_synced": round(b / best_sync["live"], 3),
