@@ -345,8 +345,19 @@ def main():
     # across the mixed stepping; losses stay assert-finite).
     best, best_sync = {}, {}
     state = fresh_state()
-    for name in variants:
-        state, _ = run_block(name, state, 1)   # compile/warm
+    # compile/warm each variant; a HEADROOM flavor that fails to
+    # compile (new knob, backend regression) is dropped with a note —
+    # only the recipe-core flavors may kill the measurement of record
+    CORE = {"live", "cached", "live_t512", "cached_two"}
+    for name in list(variants):
+        try:
+            state, _ = run_block(name, state, 1)
+        except Exception as e:                 # pragma: no cover
+            if name in CORE:
+                raise
+            print(f"# dropping headroom flavor {name}: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            del variants[name]
     for _ in range(3):
         for name in variants:
             state, dt = run_block(name, state, 3)
@@ -378,7 +389,7 @@ def main():
     # REFRESH_EPOCHS epochs -> amortized 2/(R * collect_rate) per image
     REFRESH_EPOCHS = 4                     # foggy_fast.yaml lever value
     def eff_refresh(collect_rate, step_rate):
-        if not collect_rate:
+        if not collect_rate or not step_rate:
             return None
         return 1.0 / (1.0 / step_rate
                       + 2.0 / (REFRESH_EPOCHS * collect_rate))
@@ -422,18 +433,21 @@ def main():
     weighted_refresh_int8 = (
         sched(rate["cached"], eff_two_int8) if eff_two_int8 else None)
     # int8-train recipe: cached_i8 step_one + refresh cached_two_i8
-    # step_two + int8 collection — the rate the headline becomes IF the
+    # step_two + bf16 collection — the rate the headline becomes IF the
     # --mode int8train A/B passes (headroom documentation until then)
-    eff_two_i8t = eff_refresh(rate.get("collect_int8") or
-                              rate["collect"], rate["cached_two_i8"])
+    # int8-train recipes amortize the BF16 collection pass: INT8_COLLECT
+    # is its own semantic knob (--mode refresh_int8) and is NOT implied
+    # by INT8_TRAIN — the shipped-recipe arithmetic must not borrow it
+    eff_two_i8t = eff_refresh(rate["collect"],
+                              rate.get("cached_two_i8"))
     weighted_int8train = (sched(rate["cached_i8"], eff_two_i8t)
                           if eff_two_i8t else None)
-    eff_two_i8wx = eff_refresh(rate.get("collect_int8") or
-                               rate["collect"], rate["cached_two_i8wx"])
+    eff_two_i8wx = eff_refresh(rate["collect"],
+                               rate.get("cached_two_i8wx"))
     weighted_int8train_wx = (sched(rate["cached_i8wx"], eff_two_i8wx)
                              if eff_two_i8wx else None)
     eff_two_r384 = eff_refresh(rate["collect"],
-                               rate["cached_two_r384"])
+                               rate.get("cached_two_r384"))
     weighted_r384 = (sched(rate["cached_r384"], eff_two_r384)
                      if eff_two_r384 else None)
     print(json.dumps({
@@ -471,19 +485,23 @@ def main():
             else None),
         # int8 TRAINING compute (TPU.INT8_TRAIN) — headroom until the
         # --mode int8train fixture-v3 A/B artifact lands
-        "cached_int8train_step": round(rate["cached_i8"], 3),
-        "cached_two_int8train_step": round(rate["cached_two_i8"], 3),
+        **({"cached_int8train_step": round(rate["cached_i8"], 3),
+            "cached_two_int8train_step": round(rate["cached_two_i8"],
+                                               3)}
+           if "cached_i8" in rate else {}),
         "weighted_int8train": (round(weighted_int8train, 3)
                                if weighted_int8train else None),
-        "cached_int8train_wx_step": round(rate["cached_i8wx"], 3),
-        "cached_two_int8train_wx_step": round(rate["cached_two_i8wx"],
-                                              3),
+        **({"cached_int8train_wx_step": round(rate["cached_i8wx"], 3),
+            "cached_two_int8train_wx_step": round(
+                rate["cached_two_i8wx"], 3)}
+           if "cached_i8wx" in rate else {}),
         "weighted_int8train_wx": (round(weighted_int8train_wx, 3)
                                   if weighted_int8train_wx else None),
         # roibatch75 knob (student ROI 512->384) — headroom until its
         # A/B artifact lands (--mode roibatch75)
-        "cached_r384_step": round(rate["cached_r384"], 3),
-        "cached_two_r384_step": round(rate["cached_two_r384"], 3),
+        **({"cached_r384_step": round(rate["cached_r384"], 3),
+            "cached_two_r384_step": round(rate["cached_two_r384"], 3)}
+           if "cached_r384" in rate else {}),
         "weighted_r384": (round(weighted_r384, 3)
                           if weighted_r384 else None),
         "timing": "async dependency-chained (production dispatch mode; "

@@ -84,24 +84,31 @@ def _fwd_value(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
 
 
 def _exact_dgrad(x, w, g, stride: int, p: int):
-    """Transpose of the conv w.r.t. x, at the operands' dtype."""
+    """Transpose of the conv w.r.t. x, at the operands' dtype.
+
+    The whole linear function runs in ``x.dtype`` (cotangent included):
+    a conv primitive requires matching operand dtypes, so a float32
+    cotangent against bf16 activations would fail to lower — and the
+    plain bf16 conv's own dgrad IS the bf16×bf16 transpose conv."""
     def f(x_):
         return lax.conv_general_dilated(
             x_, w.astype(x.dtype), (stride, stride), [(p, p)] * 2,
-            dimension_numbers=_DN, preferred_element_type=jnp.float32)
-    (dx,) = jax.linear_transpose(f, x)(g.astype(jnp.float32))
+            dimension_numbers=_DN)
+    (dx,) = jax.linear_transpose(f, x)(g.astype(x.dtype))
     return dx
 
 
 def _exact_wgrad(x, w, g, stride: int, p: int):
     """Transpose of the conv w.r.t. w — the same wgrad conv the plain
-    bf16 path runs (jax.linear_transpose avoids re-running the fwd)."""
+    path runs (jax.linear_transpose avoids re-running the fwd), in the
+    operands' dtype: at bf16 compute the plain conv's wgrad is itself a
+    bf16×bf16 conv, so this is "exact" w.r.t. the unquantized path."""
     def f(w_):
         return lax.conv_general_dilated(
             x, w_, (stride, stride), [(p, p)] * 2,
-            dimension_numbers=_DN, preferred_element_type=jnp.float32)
+            dimension_numbers=_DN)
     (dw,) = jax.linear_transpose(f, w.astype(x.dtype))(
-        g.astype(jnp.float32))
+        g.astype(x.dtype))
     return dw
 
 

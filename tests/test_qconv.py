@@ -119,6 +119,35 @@ def test_qt_mode2_wgrad_exact(rng):
         np.asarray(jax.tree.leaves(dw_r)[0]))
 
 
+@pytest.mark.parametrize("wgrad_int8", [True, False])
+def test_bf16_compute_grads(rng, wgrad_int8):
+    """Regression (round 4): at bf16 compute — the PRODUCTION dtype —
+    both int8-train modes must trace and execute. The wgrad-exact mode
+    once built a mixed bf16×f32 transpose conv (the exact-grad helpers
+    cast the cotangent to float32), which fails to lower; the exact
+    grads now run wholly in the operands' dtype, like the plain bf16
+    conv's own backward."""
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32),
+                    jnp.bfloat16)
+    w = jnp.asarray((rng.randn(3, 3, 16, 8) * 0.1).astype(np.float32))
+
+    def loss(w_, x_):
+        return jnp.sum(int8_train_conv(x_, w_, 1, wgrad_int8) ** 2)
+
+    dw, dx = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                     static_argnames=())(w, x)
+    assert dw.dtype == w.dtype and dx.dtype == x.dtype
+    assert np.isfinite(np.asarray(dw, np.float32)).all()
+    assert np.isfinite(np.asarray(dx, np.float32)).all()
+    # and the bf16 grads approximate the f32 exact conv's
+    x32, w32 = x.astype(jnp.float32), w
+    dw_r, dx_r = jax.grad(
+        lambda w_, x_: jnp.sum(_exact_conv(x_, w_) ** 2),
+        argnums=(0, 1))(w32, x32)
+    assert _rel_err(np.asarray(dw, np.float32), dw_r) < 0.08
+    assert _rel_err(np.asarray(dx, np.float32), dx_r) < 0.08
+
+
 def test_res5_qt_trains(rng):
     """End-to-end: a jitted SGD loop through the int8-train res5 head
     reduces a regression loss (grads are real, scales stay finite)."""
