@@ -267,6 +267,16 @@ def default_config() -> CfgNode:
             # fallback variant when the full-int8 A/B shows an AP
             # cost; --mode int8train_wx)
             "INT8_TRAIN_WGRAD": True,
+            # with INT8_TRAIN: activation/gradient scale granularity.
+            # "tensor" = one dynamic scale per tensor (the variant the
+            # int8train/int8train_wx A/Bs measured at ~-1 AP50 —
+            # attributed to outlier ROI crops setting the step for all
+            # ~512 crops); "sample" = one scale per batch element (per
+            # ROI crop in res5), which factors EXACTLY out of the
+            # fwd/dgrad contractions and implies the exact wgrad
+            # (per-sample scales cannot leave the wgrad's contracted
+            # batch dim). Adjudicated by --mode int8train_ps.
+            "INT8_TRAIN_SCALE": "tensor",
             # step_two teacher-refresh period in epochs (0 = off = exact
             # parity): predictions from a batched collection pass every N
             # epochs instead of a per-step teacher tower. Staleness

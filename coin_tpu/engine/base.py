@@ -141,7 +141,10 @@ class DetectorTrainerBase:
                              .CLS_AGNOSTIC_BBOX_REG else self.num_classes),
             quant_train_res5=(
                 0 if not cfg.get_path("TPU.INT8_TRAIN", False)
-                else (1 if cfg.get_path("TPU.INT8_TRAIN_WGRAD", True)
+                else (3 if cfg.get_path("TPU.INT8_TRAIN_SCALE",
+                                        "tensor") == "sample"
+                      else 1 if cfg.get_path("TPU.INT8_TRAIN_WGRAD",
+                                             True)
                       else 2)),
         )
         self.pcfg = pipeline_config_from(cfg, self.num_classes)

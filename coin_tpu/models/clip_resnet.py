@@ -103,6 +103,7 @@ class Int8TrainConv(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     wgrad_int8: bool = True
+    per_sample: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -110,7 +111,8 @@ class Int8TrainConv(nn.Module):
         k = self.kernel
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (k, k, x.shape[-1], self.features))
-        out = int8_train_conv(x, w, self.stride, self.wgrad_int8)
+        out = int8_train_conv(x, w, self.stride, self.wgrad_int8,
+                              self.per_sample)
         return out.astype(self.dtype)
 
 
@@ -120,10 +122,15 @@ def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
     # detector.quant_train_res5): 0 = off, 1 = full int8
     # (fwd+dgrad+wgrad), 2 = wgrad-exact (int8 fwd+dgrad, the
     # optimizer sees the plain conv's weight gradient bit-exactly —
-    # the fallback when the full-int8 A/B shows an AP cost)
+    # the fallback when the full-int8 A/B shows an AP cost), 3 =
+    # per-sample activation/gradient scales + exact wgrad
+    # (TPU.INT8_TRAIN_SCALE: sample — the finer-forward-quantization
+    # lever staged by the int8train_wx A/B attribution, BENCH.md)
     if qt:
         return Int8TrainConv(features, kernel, stride, name=name,
-                             dtype=dtype, wgrad_int8=(int(qt) != 2))
+                             dtype=dtype,
+                             wgrad_int8=(int(qt) == 1),
+                             per_sample=(int(qt) == 3))
     if quant:
         return Int8Conv(features, kernel, stride, name=name,
                         dtype=dtype)

@@ -56,8 +56,9 @@ class OpenVocabularyRCNN(nn.Module):
     # clip_resnet.Int8TrainConv) — the hot 64% of the cached step's
     # conv time rides the 2x int8 MXU. Mode int: 0 = off, 1 = full
     # int8 (fwd+dgrad+wgrad), 2 = wgrad-exact (int8 fwd+dgrad, exact
-    # weight gradients — TPU.INT8_TRAIN_WGRAD: false). A semantic knob
-    # gated on its fixture-v3 A/B (BENCH.md).
+    # weight gradients — TPU.INT8_TRAIN_WGRAD: false), 3 = per-sample
+    # activation/gradient scales + exact wgrad (TPU.INT8_TRAIN_SCALE:
+    # sample). A semantic knob gated on its fixture-v3 A/B (BENCH.md).
     quant_train_res5: int = 0
 
     def setup(self):

@@ -5,7 +5,8 @@ The serving path (clip_resnet.Int8Conv) quantizes only the forward.
 Training needs gradients, so this module provides ``int8_train_conv``,
 a ``jax.custom_vjp`` convolution where
 
-  - **forward**: per-tensor dynamic int8 activations × per-OUTPUT-channel
+  - **forward**: per-tensor (or per-SAMPLE, ``per_sample`` — one scale
+    per ROI crop) dynamic int8 activations × per-OUTPUT-channel
     int8 weights, int32 MXU accumulation (same numerics as Int8Conv);
   - **input gradient (dgrad)**: per-tensor dynamic int8 incoming
     gradient × per-INPUT-channel requantized int8 weights (the
@@ -59,28 +60,47 @@ def _conv_i8(lhs, rhs, strides, pad, dn=_DN):
         preferred_element_type=jnp.int32)
 
 
-def _quantize_x(x: jnp.ndarray):
+def _quantize_x(x: jnp.ndarray, per_sample: bool = False):
+    """Dynamic int8 quantization of an NHWC activation/gradient.
+
+    ``per_sample``: one scale per batch element — shape (N,1,1,1) —
+    instead of one per tensor. In res5 the batch dim is the ROI-crop
+    dim (~512 crops/step), so per-tensor scales let a single outlier
+    crop set the quantization step for every crop; per-sample scales
+    factor EXACTLY out of the conv contraction (batch is never a
+    contracted dim in fwd/dgrad), so the finer granularity costs no
+    extra approximation — only a per-sample max reduction."""
     xf = x.astype(jnp.float32)
-    xs = _per_tensor_scale(xf)
+    if per_sample:
+        xs = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True),
+            1e-12) / 127.0
+    else:
+        xs = _per_tensor_scale(xf)
     return _quant(xf, xs), xs
 
 
-def _fwd_parts(x: jnp.ndarray, w: jnp.ndarray, stride: int):
+def _fwd_parts(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+               per_sample: bool = False):
     """Quantized forward; returns (value_f32, xq, xs) so the backward
     can reuse the quantized activations (int8 residuals: half the HBM
     of the bf16 activations, and no re-quantization pass in bwd)."""
     k = w.shape[0]
     p = k // 2
-    xq, xs = _quantize_x(x)
+    xq, xs = _quantize_x(x, per_sample)
     wf = w.astype(jnp.float32)
     ks = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
     wq = jnp.round(wf / ks).astype(jnp.int8)
     out = _conv_i8(xq, wq, (stride, stride), [(p, p)] * 2)
+    # xs broadcasts (N,1,1,1) or scalar; ks rides the O dim — both are
+    # non-contracted dims of the int32 accumulation, so the rescale is
+    # exact w.r.t. the quantized integers
     return out.astype(jnp.float32) * (xs * ks), xq, xs
 
 
-def _fwd_value(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
-    return _fwd_parts(x, w, stride)[0]
+def _fwd_value(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+               per_sample: bool = False) -> jnp.ndarray:
+    return _fwd_parts(x, w, stride, per_sample)[0]
 
 
 def _exact_dgrad(x, w, g, stride: int, p: int):
@@ -112,30 +132,39 @@ def _exact_wgrad(x, w, g, stride: int, p: int):
     return dw
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def int8_train_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
-                    wgrad_int8: bool = False) -> jnp.ndarray:
+                    wgrad_int8: bool = False,
+                    per_sample: bool = False) -> jnp.ndarray:
     """int8-quantized conv with int8 dgrad (+ optional int8 wgrad).
 
     x (N,H,W,I) in the compute dtype; w (k,k,I,O) master weights.
-    Returns f32 (N,Ho,Wo,O). ``stride``/``wgrad_int8`` are static.
+    Returns f32 (N,Ho,Wo,O). ``stride``/``wgrad_int8``/``per_sample``
+    are static. ``per_sample`` quantizes activations and incoming
+    gradients with one scale per batch element (per ROI crop in res5)
+    instead of per tensor — the finer-forward-quantization lever staged
+    when the ``--mode int8train_wx`` A/B attributed the ~−1 AP50 cost
+    to per-tensor activation scales (BENCH.md). Per-sample scales
+    cannot factor out of the wgrad contraction (batch IS contracted
+    there), so ``per_sample`` implies the exact wgrad regardless of
+    ``wgrad_int8``.
     """
-    return _fwd_value(x, w, stride)
+    return _fwd_value(x, w, stride, per_sample)
 
 
-def _vjp_fwd(x, w, stride, wgrad_int8):
-    if wgrad_int8 and stride == 1:
+def _vjp_fwd(x, w, stride, wgrad_int8, per_sample):
+    if wgrad_int8 and stride == 1 and not per_sample:
         # int8 residuals: the backward reuses the forward's quantized
         # activations — no bwd re-quantization pass, and the saved
         # tensor is int8 (half the bf16 bytes)
         out, xq, xs = _fwd_parts(x, w, stride)
         # zero-size sentinel carries x's dtype for the dx cast
         return out, (xq, xs, w, jnp.zeros((0,), x.dtype))
-    return _fwd_value(x, w, stride), (x, w)
+    return _fwd_value(x, w, stride, per_sample), (x, w)
 
 
-def _vjp_bwd(stride, wgrad_int8, res, g):
-    int8_res = wgrad_int8 and stride == 1
+def _vjp_bwd(stride, wgrad_int8, per_sample, res, g):
+    int8_res = wgrad_int8 and stride == 1 and not per_sample
     if int8_res:
         xq, xs, w, x_sentinel = res
         x_dtype = x_sentinel.dtype
@@ -149,7 +178,10 @@ def _vjp_bwd(stride, wgrad_int8, res, g):
 
     # ---- dgrad: dx[...,i] = Σ_o g ⊛ flip(w)[...,o,i]
     if stride == 1:
-        gq, gs = _quantize_x(gf)
+        # per-sample gradient scales matter even more than activation
+        # scales: background ROI crops carry near-zero gradients that a
+        # per-tensor scale would quantize to all-zeros
+        gq, gs = _quantize_x(gf, per_sample)
         ks_i = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 3)),
                            1e-12) / 127.0                 # (I,)
         wq_i = jnp.round(wf / ks_i[None, None, :, None]).astype(jnp.int8)

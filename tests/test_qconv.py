@@ -148,6 +148,94 @@ def test_bf16_compute_grads(rng, wgrad_int8):
     assert _rel_err(np.asarray(dx, np.float32), dx_r) < 0.08
 
 
+def test_per_sample_equals_per_tensor_of_each_sample(rng):
+    """per_sample=True on a batch is bit-equal to running the
+    per-tensor path on each sample alone — the per-sample scale IS
+    that sample's per-tensor scale, pinning the exact factorization
+    (batch is a non-contracted dim of the forward conv)."""
+    x = np.stack([rng.randn(9, 9, 16) * 0.01,
+                  rng.randn(9, 9, 16),
+                  rng.randn(9, 9, 16) * 40.0]).astype(np.float32)
+    x = jnp.asarray(x)
+    w = jnp.asarray((rng.randn(3, 3, 16, 8) * 0.1).astype(np.float32))
+    y_ps = int8_train_conv(x, w, 1, False, True)
+    for n in range(3):
+        y_n = int8_train_conv(x[n:n + 1], w, 1, False, False)
+        np.testing.assert_array_equal(np.asarray(y_ps[n:n + 1]),
+                                      np.asarray(y_n))
+
+
+def test_per_sample_fixes_outlier_crop(rng):
+    """The int8train_wx A/B's failure mode: one outlier ROI crop sets
+    the per-tensor quantization step for the whole batch, destroying
+    the small crops' forward; per-sample scales keep every crop at
+    full int8 resolution. Same effect on the dgrad, where background
+    crops carry near-zero gradients."""
+    small = rng.randn(7, 9, 9, 16).astype(np.float32)
+    outlier = (rng.randn(1, 9, 9, 16) * 300.0).astype(np.float32)
+    x = jnp.asarray(np.concatenate([small, outlier]))
+    w = jnp.asarray((rng.randn(3, 3, 16, 8) * 0.1).astype(np.float32))
+
+    y_ref = _exact_conv(x, w)
+    y_pt = int8_train_conv(x, w, 1, False, False)
+    y_ps = int8_train_conv(x, w, 1, False, True)
+    err_pt = _rel_err(y_pt[:7], y_ref[:7])
+    err_ps = _rel_err(y_ps[:7], y_ref[:7])
+    assert err_ps < 0.05, err_ps
+    assert err_pt > 5 * err_ps, (err_pt, err_ps)
+
+    # dgrad: one crop with huge gradients (e.g. a hard positive) must
+    # not zero out the others' input gradients
+    g_small = rng.randn(7, 9, 9, 8).astype(np.float32)
+    g_big = (rng.randn(1, 9, 9, 8) * 300.0).astype(np.float32)
+    g = jnp.asarray(np.concatenate([g_small, g_big]))
+    x_plain = jnp.asarray(rng.randn(8, 9, 9, 16).astype(np.float32))
+
+    def dx_of(per_sample):
+        return jax.grad(lambda x_: jnp.vdot(
+            int8_train_conv(x_, w, 1, False, per_sample), g))(x_plain)
+
+    dx_ref = jax.grad(
+        lambda x_: jnp.vdot(_exact_conv(x_, w), g))(x_plain)
+    err_pt = _rel_err(np.asarray(dx_of(False))[:7], dx_ref[:7])
+    err_ps = _rel_err(np.asarray(dx_of(True))[:7], dx_ref[:7])
+    assert err_ps < 0.06, err_ps
+    assert err_pt > 5 * err_ps, (err_pt, err_ps)
+
+
+def test_per_sample_implies_exact_wgrad(rng):
+    """per-sample scales cannot factor out of the wgrad contraction
+    (batch IS contracted there), so per_sample forces the exact wgrad
+    even when wgrad_int8=True is passed."""
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 16, 8) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+    dw_q = jax.grad(
+        lambda w_: jnp.vdot(int8_train_conv(x, w_, 1, True, True), g))(w)
+    dw_r = jax.grad(lambda w_: jnp.vdot(_exact_conv(x, w_), g))(w)
+    np.testing.assert_array_equal(np.asarray(dw_q), np.asarray(dw_r))
+
+
+def test_qt_mode3_module_and_bf16(rng):
+    """qt=3 (TPU.INT8_TRAIN_SCALE: sample): module forward close to
+    exact, checkpoint-compatible params, and the production bf16
+    compute path traces and executes jitted."""
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    exact = _conv(8, 3)
+    qt3 = _conv(8, 3, qt=3)
+    params = exact.init(jax.random.key(2), x)
+    assert jax.tree.structure(params) == \
+        jax.tree.structure(qt3.init(jax.random.key(2), x))
+    assert _rel_err(qt3.apply(params, x), exact.apply(params, x)) < 0.05
+
+    xb = x.astype(jnp.bfloat16)
+    dw = jax.jit(jax.grad(
+        lambda p: jnp.sum(qt3.apply(p, xb).astype(jnp.float32) ** 2)
+    ))(params)
+    leaf = np.asarray(jax.tree.leaves(dw)[0], np.float32)
+    assert np.isfinite(leaf).all()
+
+
 def test_res5_qt_trains(rng):
     """End-to-end: a jitted SGD loop through the int8-train res5 head
     reduces a regression loss (grads are real, scales stay finite)."""

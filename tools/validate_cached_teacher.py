@@ -215,7 +215,8 @@ def main(argv=None):
                                       "roibatch", "budget", "batch",
                                       "batch_live", "refresh",
                                       "refresh_int8", "roibatch75",
-                                      "int8train", "int8train_wx"),
+                                      "int8train", "int8train_wx",
+                                      "int8train_ps"),
                    default="cache")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
@@ -348,6 +349,21 @@ def main(argv=None):
             base_ap, base_t = run_one(cfg_base, store, cache=True,
                                       weights=ckpt)
             cfg_var.TPU.INT8_TRAIN = True
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
+        elif args.mode == "int8train_ps":
+            # per-SAMPLE activation/gradient scales
+            # (TPU.INT8_TRAIN_SCALE: sample + exact wgrad): the
+            # finer-forward-quantization lever staged when int8train_wx
+            # attributed the ~-1 AP50 cost to per-tensor activation
+            # scales (one outlier ROI crop sets the quantization step
+            # for all ~512 crops). Same arms as int8train otherwise.
+            names = ("fp_train", "int8ps_train")
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            cfg_var.TPU.INT8_TRAIN = True
+            cfg_var.TPU.INT8_TRAIN_WGRAD = False
+            cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
         elif args.mode == "refresh":
