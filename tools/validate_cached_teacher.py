@@ -476,7 +476,10 @@ def main(argv=None):
         # incremental artifact: a cut-short campaign still leaves
         # analyzable per-seed evidence
         with open(args.out + ".partial", "w") as f:
-            json.dump({"mode": args.mode, "arms": list(names),
+            json.dump({"mode": args.mode, "fixture": args.fixture,
+                       "iters": args.iters,
+                       "pretrain_iters": args.pre_iters,
+                       "images": args.images, "arms": list(names),
                        "completed_seeds": len(per_seed),
                        "per_seed": per_seed}, f, indent=2)
 
