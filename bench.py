@@ -21,9 +21,10 @@ foggy.yaml:15):
 The headline value is the schedule-weighted production rate of the
 fast recipe (foggy_fast.yaml, batch 3): cached step_one + REFRESH
 step_two (TPU.TEACHER_REFRESH_EPOCHS=4 — cached_two steps plus the
-amortized dual-orientation collection pass at teacher budget 512) —
-each knob carries a paired-seed AP A/B artifact on the A/A-calibrated
-fixture v3 (bench_artifacts/ab_refresh_v3_s8.json PASS,
+amortized dual-orientation INT8 collection pass at teacher budget
+512) — each knob carries a paired-seed AP A/B artifact on the
+A/A-calibrated fixture v3 (bench_artifacts/ab_refresh_v3_s8.json PASS,
+ab_budget_v3_s8.json PASS, ab_refresh_int8_v3_s8.json PASS,
 ab_aa_v3_s8.json floor; verdicts in BENCH.md). The two-stage
 batch-6 recipe (scripts/GDINO/final/targetDET_fast_b6.sh) is reported
 as `two_stage_b6` but is NOT the headline: its cached-phase batch A/B
@@ -246,6 +247,15 @@ def main():
         hyper, with_cached_two=True)
     variants["cached_i8wx"] = (cached_i8wx, True, b)
     variants["cached_two_i8wx"] = (cached_two_i8wx, True, b)
+    # per-sample-scale variant (TPU.INT8_TRAIN_SCALE: sample + exact
+    # wgrad, qt=3): the round-5 forward-quantization rehabilitation
+    # lever (--mode int8train_ps); ships only with its A/B artifact.
+    model_i8ps = model.clone(quant_train_res5=3)
+    _, cached_i8ps, cached_two_i8ps = build_adaptation_steps(
+        model_i8ps, merge_model, tx, merge_tx, tokens, pcfg, pcfg_t512,
+        hyper, with_cached_two=True)
+    variants["cached_i8ps"] = (cached_i8ps, True, b)
+    variants["cached_two_i8ps"] = (cached_two_i8ps, True, b)
 
     # student ROI batch 512 -> 384 (the roibatch75 knob): a 25% cut of
     # the res5-crop FLOPs, adjudicated by --mode roibatch75 on fixture
@@ -446,18 +456,31 @@ def main():
                                rate.get("cached_two_i8wx"))
     weighted_int8train_wx = (sched(rate["cached_i8wx"], eff_two_i8wx)
                              if eff_two_i8wx else None)
+    # per-sample int8 recipe (--mode int8train_ps): since INT8_COLLECT
+    # now carries its own PASS (ab_refresh_int8_v3_s8), the candidate
+    # recipe's arithmetic uses the int8 collection pass it would ship
+    # with (falling back to bf16 collect if the int8 pass is absent)
+    eff_two_i8ps = eff_refresh(rate.get("collect_int8")
+                               or rate.get("collect"),
+                               rate.get("cached_two_i8ps"))
+    weighted_int8train_ps = (sched(rate["cached_i8ps"], eff_two_i8ps)
+                             if eff_two_i8ps and "cached_i8ps" in rate
+                             else None)
     eff_two_r384 = eff_refresh(rate["collect"],
                                rate.get("cached_two_r384"))
     weighted_r384 = (sched(rate["cached_r384"], eff_two_r384)
                      if eff_two_r384 else None)
+    # HEADLINE = the foggy_fast.yaml recipe: cached step_one + refresh
+    # step_two (TEACHER_REFRESH_EPOCHS=4) with INT8 collection — every
+    # knob carries a fixture-v3 A/B PASS (ab_refresh_v3_s8,
+    # ab_budget_v3_s8, ab_refresh_int8_v3_s8). bf16-collect fallback if
+    # the int8 serving clone failed to compile.
+    headline = weighted_refresh_int8 or weighted_refresh
     print(json.dumps({
         "metric": "adaptation_images_per_sec_per_chip",
-        # HEADLINE = the foggy_fast.yaml recipe: cached step_one +
-        # refresh step_two (TEACHER_REFRESH_EPOCHS=4, bf16 collection).
-        # Every knob carries a fixture-v3 A/B PASS (ab_refresh_v3_s8).
-        "value": round(weighted_refresh, 3),
+        "value": round(headline, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(weighted_refresh / REF_IMAGES_PER_SEC, 3),
+        "vs_baseline": round(headline / REF_IMAGES_PER_SEC, 3),
         "fast_no_refresh": round(weighted_fast, 3),
         "parity_recipe": round(weighted_parity, 3),
         "parity_vs_baseline": round(weighted_parity / REF_IMAGES_PER_SEC,
@@ -497,6 +520,12 @@ def main():
            if "cached_i8wx" in rate else {}),
         "weighted_int8train_wx": (round(weighted_int8train_wx, 3)
                                   if weighted_int8train_wx else None),
+        **({"cached_int8train_ps_step": round(rate["cached_i8ps"], 3),
+            "cached_two_int8train_ps_step": round(
+                rate["cached_two_i8ps"], 3)}
+           if "cached_i8ps" in rate else {}),
+        "weighted_int8train_ps": (round(weighted_int8train_ps, 3)
+                                  if weighted_int8train_ps else None),
         # roibatch75 knob (student ROI 512->384) — headroom until its
         # A/B artifact lands (--mode roibatch75)
         **({"cached_r384_step": round(rate["cached_r384"], 3),

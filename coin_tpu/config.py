@@ -277,6 +277,12 @@ def default_config() -> CfgNode:
             # (per-sample scales cannot leave the wgrad's contracted
             # batch dim). Adjudicated by --mode int8train_ps.
             "INT8_TRAIN_SCALE": "tensor",
+            # with INT8_TRAIN: quantize the input-gradient (dgrad) conv
+            # (True = the standard recipe). False = int8 FORWARD only,
+            # exact dgrad+wgrad — the most conservative staged probe
+            # (--mode int8train_fo), isolating forward-activation
+            # quantization from gradient quantization entirely.
+            "INT8_TRAIN_DGRAD": True,
             # step_two teacher-refresh period in epochs (0 = off = exact
             # parity): predictions from a batched collection pass every N
             # epochs instead of a per-step teacher tower. Staleness

@@ -141,8 +141,10 @@ class DetectorTrainerBase:
                              .CLS_AGNOSTIC_BBOX_REG else self.num_classes),
             quant_train_res5=(
                 0 if not cfg.get_path("TPU.INT8_TRAIN", False)
-                else (3 if cfg.get_path("TPU.INT8_TRAIN_SCALE",
-                                        "tensor") == "sample"
+                else (4 if not cfg.get_path("TPU.INT8_TRAIN_DGRAD",
+                                            True)
+                      else 3 if cfg.get_path("TPU.INT8_TRAIN_SCALE",
+                                             "tensor") == "sample"
                       else 1 if cfg.get_path("TPU.INT8_TRAIN_WGRAD",
                                              True)
                       else 2)),

@@ -104,6 +104,7 @@ class Int8TrainConv(nn.Module):
     dtype: Dtype = jnp.float32
     wgrad_int8: bool = True
     per_sample: bool = False
+    dgrad_int8: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -112,7 +113,7 @@ class Int8TrainConv(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (k, k, x.shape[-1], self.features))
         out = int8_train_conv(x, w, self.stride, self.wgrad_int8,
-                              self.per_sample)
+                              self.per_sample, self.dgrad_int8)
         return out.astype(self.dtype)
 
 
@@ -125,12 +126,15 @@ def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32,
     # the fallback when the full-int8 A/B shows an AP cost), 3 =
     # per-sample activation/gradient scales + exact wgrad
     # (TPU.INT8_TRAIN_SCALE: sample — the finer-forward-quantization
-    # lever staged by the int8train_wx A/B attribution, BENCH.md)
+    # lever staged by the int8train_wx A/B attribution, BENCH.md),
+    # 4 = int8 per-sample FORWARD only, exact dgrad+wgrad
+    # (TPU.INT8_TRAIN_DGRAD: false — the most conservative probe)
     if qt:
         return Int8TrainConv(features, kernel, stride, name=name,
                              dtype=dtype,
                              wgrad_int8=(int(qt) == 1),
-                             per_sample=(int(qt) == 3))
+                             per_sample=(int(qt) in (3, 4)),
+                             dgrad_int8=(int(qt) != 4))
     if quant:
         return Int8Conv(features, kernel, stride, name=name,
                         dtype=dtype)

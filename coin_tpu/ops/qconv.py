@@ -132,39 +132,44 @@ def _exact_wgrad(x, w, g, stride: int, p: int):
     return dw
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def int8_train_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
                     wgrad_int8: bool = False,
-                    per_sample: bool = False) -> jnp.ndarray:
+                    per_sample: bool = False,
+                    dgrad_int8: bool = True) -> jnp.ndarray:
     """int8-quantized conv with int8 dgrad (+ optional int8 wgrad).
 
     x (N,H,W,I) in the compute dtype; w (k,k,I,O) master weights.
-    Returns f32 (N,Ho,Wo,O). ``stride``/``wgrad_int8``/``per_sample``
-    are static. ``per_sample`` quantizes activations and incoming
-    gradients with one scale per batch element (per ROI crop in res5)
-    instead of per tensor — the finer-forward-quantization lever staged
-    when the ``--mode int8train_wx`` A/B attributed the ~−1 AP50 cost
-    to per-tensor activation scales (BENCH.md). Per-sample scales
-    cannot factor out of the wgrad contraction (batch IS contracted
-    there), so ``per_sample`` implies the exact wgrad regardless of
-    ``wgrad_int8``.
+    Returns f32 (N,Ho,Wo,O). ``stride``/``wgrad_int8``/``per_sample``/
+    ``dgrad_int8`` are static. ``per_sample`` quantizes activations and
+    incoming gradients with one scale per batch element (per ROI crop
+    in res5) instead of per tensor — the finer-forward-quantization
+    lever staged when the ``--mode int8train_wx`` A/B attributed the
+    ~−1 AP50 cost to per-tensor activation scales (BENCH.md).
+    Per-sample scales cannot factor out of the wgrad contraction (batch
+    IS contracted there), so ``per_sample`` implies the exact wgrad
+    regardless of ``wgrad_int8``. ``dgrad_int8=False`` keeps the input
+    gradient exact too (int8 FORWARD only — the most conservative
+    staged variant, ``--mode int8train_fo``).
     """
     return _fwd_value(x, w, stride, per_sample)
 
 
-def _vjp_fwd(x, w, stride, wgrad_int8, per_sample):
-    if wgrad_int8 and stride == 1 and not per_sample:
+def _vjp_fwd(x, w, stride, wgrad_int8, per_sample, dgrad_int8):
+    if wgrad_int8 and dgrad_int8 and stride == 1 and not per_sample:
         # int8 residuals: the backward reuses the forward's quantized
         # activations — no bwd re-quantization pass, and the saved
-        # tensor is int8 (half the bf16 bytes)
+        # tensor is int8 (half the bf16 bytes). Requires the int8 dgrad
+        # too: the int8 wgrad reuses the dgrad's quantized gradient.
         out, xq, xs = _fwd_parts(x, w, stride)
         # zero-size sentinel carries x's dtype for the dx cast
         return out, (xq, xs, w, jnp.zeros((0,), x.dtype))
     return _fwd_value(x, w, stride, per_sample), (x, w)
 
 
-def _vjp_bwd(stride, wgrad_int8, per_sample, res, g):
-    int8_res = wgrad_int8 and stride == 1 and not per_sample
+def _vjp_bwd(stride, wgrad_int8, per_sample, dgrad_int8, res, g):
+    int8_res = (wgrad_int8 and dgrad_int8 and stride == 1
+                and not per_sample)
     if int8_res:
         xq, xs, w, x_sentinel = res
         x_dtype = x_sentinel.dtype
@@ -177,7 +182,7 @@ def _vjp_bwd(stride, wgrad_int8, per_sample, res, g):
     wf = w.astype(jnp.float32)
 
     # ---- dgrad: dx[...,i] = Σ_o g ⊛ flip(w)[...,o,i]
-    if stride == 1:
+    if stride == 1 and dgrad_int8:
         # per-sample gradient scales matter even more than activation
         # scales: background ROI crops carry near-zero gradients that a
         # per-tensor scale would quantize to all-zeros

@@ -258,3 +258,36 @@ def test_res5_qt_trains(rng):
         losses.append(float(l))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_qt_mode4_fwd_only_exact_grads(rng):
+    """qt=4 (TPU.INT8_TRAIN_DGRAD: false): quantized per-sample
+    FORWARD, but BOTH gradients bit-equal to the plain conv's
+    (straight-through: the backward treats y = conv(x, w) as exact, and
+    with dgrad_int8=False the exact transpose convs run unquantized)."""
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 16, 8) * 0.1).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+
+    y = int8_train_conv(x, w, 1, False, True, False)
+    assert _rel_err(y, _exact_conv(x, w)) < 0.05
+
+    def f_q(x_, w_):
+        return jnp.vdot(int8_train_conv(x_, w_, 1, False, True, False), g)
+
+    def f_ref(x_, w_):
+        return jnp.vdot(_exact_conv(x_, w_), g)
+
+    dx_q, dw_q = jax.grad(f_q, argnums=(0, 1))(x, w)
+    dx_r, dw_r = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_array_equal(np.asarray(dx_q), np.asarray(dx_r))
+    np.testing.assert_array_equal(np.asarray(dw_q), np.asarray(dw_r))
+
+    # module plumbing: qt=4 module is checkpoint-compatible and jits
+    exact = _conv(8, 3)
+    qt4 = _conv(8, 3, qt=4)
+    params = exact.init(jax.random.key(2), x)
+    assert jax.tree.structure(params) == \
+        jax.tree.structure(qt4.init(jax.random.key(2), x))
+    out = jax.jit(qt4.apply)(params, x.astype(jnp.bfloat16))
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -216,7 +216,8 @@ def main(argv=None):
                                       "batch_live", "refresh",
                                       "refresh_int8", "roibatch75",
                                       "int8train", "int8train_wx",
-                                      "int8train_ps"),
+                                      "int8train_ps", "int8train_fo",
+                                      "shipped"),
                    default="cache")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
@@ -366,6 +367,22 @@ def main(argv=None):
             cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
+        elif args.mode == "int8train_fo":
+            # int8 FORWARD only (per-sample scales), exact dgrad+wgrad
+            # (TPU.INT8_TRAIN_DGRAD: false): the most conservative
+            # staged probe — if even a quantized forward alone costs
+            # AP, the int8-training path is dead; if this passes while
+            # int8train_ps fails, the residual cost is dgrad
+            # quantization.
+            names = ("fp_train", "int8fo_train")
+            base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                      weights=ckpt)
+            cfg_var.TPU.INT8_TRAIN = True
+            cfg_var.TPU.INT8_TRAIN_WGRAD = False
+            cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
+            cfg_var.TPU.INT8_TRAIN_DGRAD = False
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
         elif args.mode == "refresh":
             # step_two teacher-refresh lever (TPU.TEACHER_REFRESH_EPOCHS):
             # live per-step teacher vs predictions refreshed by a batched
@@ -405,6 +422,27 @@ def main(argv=None):
             cfg_var.TPU.TEACHER_POST_NMS_TOPK = 32
             var_ap, var_t = run_one(cfg_var, store, cache=False,
                                     weights=ckpt)
+        elif args.mode == "shipped":
+            # the FULL shipped foggy_fast recipe vs strict parity, at
+            # fixture scale, with the production phase split (step_one
+            # ≈ 2/3 of images cached, step_two ≈ 1/3 refreshed): one
+            # joint adjudication of the stacked knobs that each PASSed
+            # alone (cached step_one, teacher budget 512, refresh-4 +
+            # int8 collection). Per-knob −2 margins cannot bound the
+            # stack — three individually-passing −0.5 costs would blow
+            # the ±0.3 Foggy parity budget (VERDICT r4 weak-3).
+            names = ("parity", "shipped")
+            bu = (args.iters * 2) // 3
+            cfg_base.CLOUD.BURN_UP_STEP = bu
+            cfg_var.CLOUD.BURN_UP_STEP = bu
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
+                                      weights=ckpt)
+            cfg_var.TPU.TEACHER_PRE_NMS_TOPK = 128
+            cfg_var.TPU.TEACHER_POST_NMS_TOPK = 32
+            cfg_var.TPU.TEACHER_REFRESH_EPOCHS = 4
+            cfg_var.TPU.INT8_COLLECT = True
+            var_ap, var_t = run_one(cfg_var, store, cache=True,
+                                    weights=ckpt)
         else:  # batch[/_live]: double per-chip batch, linear LR, same
             # epochs. 'batch' runs both arms cached (the step_one phase,
             # where most iterations live); 'batch_live' runs both arms
@@ -420,7 +458,8 @@ def main(argv=None):
                                 max(args.eval_every // 2, 1),
                                 batch=2 * cfg_base.SOLVER
                                 .IMG_PER_BATCH_UNLABEL,
-                                base_lr=2 * cfg_base.SOLVER.BASE_LR)
+                                base_lr=2 * cfg_base.SOLVER.BASE_LR,
+                                fixture=args.fixture)
             cfg_dbl.SEED = cfg_var.SEED
             cfg_dbl.SOLVER.WARMUP_ITERS = \
                 cfg_base.SOLVER.WARMUP_ITERS // 2
@@ -474,12 +513,20 @@ def main(argv=None):
         print(f"[seed {s}] final {names[0]}={fb} {names[1]}={fv}"
               f"{' EXCLUDED (pretrain flatlined)' if excluded else ''}")
         # incremental artifact: a cut-short campaign still leaves
-        # analyzable per-seed evidence
+        # analyzable per-seed evidence, self-describing enough for a
+        # resume consumer to verify the setup matched (eval-set size,
+        # seed plan, platform — round-4 advisor finding)
+        import jax as _jax
         with open(args.out + ".partial", "w") as f:
             json.dump({"mode": args.mode, "fixture": args.fixture,
                        "iters": args.iters,
                        "pretrain_iters": args.pre_iters,
-                       "images": args.images, "arms": list(names),
+                       "images": args.images,
+                       "eval_images": args.eval_images,
+                       "seeds": args.seeds,
+                       "platform": (args.platform
+                                    or _jax.default_backend()),
+                       "arms": list(names),
                        "completed_seeds": len(per_seed),
                        "per_seed": per_seed}, f, indent=2)
 
@@ -526,6 +573,17 @@ def main(argv=None):
         "delta_mean": mean, "delta_sd": sd, "delta_ci95": ci,
         "delta_avg3_mean": mean3, "delta_avg3_sd": sd3,
         "delta_avg3_ci95": ci3, "n_avg3": n3,
+        # per-endpoint sign counts, so prose summaries cannot silently
+        # quote the wrong endpoint's tally (the round-4 roibatch75
+        # write-up swapped endpoints — VERDICT r4 weak-1)
+        "n_positive_primary": sum(
+            1 for d in (d3 if v3 else deltas) if d > 0),
+        "n_negative_primary": sum(
+            1 for d in (d3 if v3 else deltas) if d < 0),
+        "n_positive_secondary": sum(
+            1 for d in (deltas if v3 else d3) if d > 0),
+        "n_negative_secondary": sum(
+            1 for d in (deltas if v3 else d3) if d < 0),
         "avg3_note": "mean AP50 of the last 3 evals per arm — the "
                      "PRIMARY endpoint for fixture v3 (pre-registered "
                      "round 4); secondary for v2, where the verdict "
