@@ -181,6 +181,85 @@ def run_one(cfg, store, cache: bool, weights: str = "",
     return {str(k): v for k, v in tr.ap_50_student.items()}, dt
 
 
+# Modes whose BASE arm is the standard cached fp recipe (cfg_base,
+# cache=True, pretrain weights) — exactly these can share one base run
+# (and one pretrain) per seed in --multi sweeps. Bespoke-base modes
+# (cache, fasthead, budget, refresh*, shipped, batch_live) cannot.
+STD_BASE_MODES = ("aa", "roibatch", "roibatch75", "int8train",
+                  "int8train_wx", "int8train_ps", "int8train_fo",
+                  "batch")
+
+
+def std_var(mode, cfg_base, cfg_var, args, root):
+    """Arm names + variant-arm runner for a standard-base mode.
+
+    The knob semantics live HERE (single definition used by both the
+    single-mode path and --multi sweeps):
+      aa           — identical recipe, init perturbed 1e-6 (noise floor)
+      roibatch     — student ROI batch halved
+      roibatch75   — student ROI batch x0.75 (production 512->384)
+      int8train    — TPU.INT8_TRAIN full (int8 fwd+dgrad+wgrad; var arm
+                     also evaluates int8 for train/test consistency)
+      int8train_wx — int8 fwd+dgrad, bit-exact wgrad (the round-4
+                     attribution variant)
+      int8train_ps — per-SAMPLE activation/gradient scales + exact
+                     wgrad (TPU.INT8_TRAIN_SCALE: sample) — the
+                     finer-forward-quantization lever staged when wx
+                     localized the ~-1 AP50 cost to per-tensor
+                     activation scales
+      int8train_fo — int8 per-sample FORWARD only, exact dgrad+wgrad
+                     (TPU.INT8_TRAIN_DGRAD: false) — the most
+                     conservative staged probe
+      batch        — per-chip batch doubled, linear LR, half the
+                     iterations (same images seen)
+    """
+    if mode == "aa":
+        return ("aa_base", "aa_perturbed"), (
+            lambda store, ckpt: run_one(cfg_var, store, cache=True,
+                                        weights=ckpt, perturb=True))
+    if mode == "roibatch":
+        cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
+        names = ("roi_full", "roi_half")
+    elif mode == "roibatch75":
+        cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = (
+            cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE * 3) // 4
+        names = ("roi_full", "roi_75")
+    elif mode == "int8train":
+        cfg_var.TPU.INT8_TRAIN = True
+        names = ("fp_train", "int8_train")
+    elif mode == "int8train_wx":
+        cfg_var.TPU.INT8_TRAIN = True
+        cfg_var.TPU.INT8_TRAIN_WGRAD = False
+        names = ("fp_train", "int8wx_train")
+    elif mode == "int8train_ps":
+        cfg_var.TPU.INT8_TRAIN = True
+        cfg_var.TPU.INT8_TRAIN_WGRAD = False
+        cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
+        names = ("fp_train", "int8ps_train")
+    elif mode == "int8train_fo":
+        cfg_var.TPU.INT8_TRAIN = True
+        cfg_var.TPU.INT8_TRAIN_WGRAD = False
+        cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
+        cfg_var.TPU.INT8_TRAIN_DGRAD = False
+        names = ("fp_train", "int8fo_train")
+    elif mode == "batch":
+        cfg_dbl = build_cfg(root, cfg_var.OUTPUT_DIR, args.iters // 2,
+                            max(args.eval_every // 2, 1),
+                            batch=2 * cfg_base.SOLVER
+                            .IMG_PER_BATCH_UNLABEL,
+                            base_lr=2 * cfg_base.SOLVER.BASE_LR,
+                            fixture=args.fixture)
+        cfg_dbl.SEED = cfg_var.SEED
+        cfg_dbl.SOLVER.WARMUP_ITERS = cfg_base.SOLVER.WARMUP_ITERS // 2
+        return ("batch_base", "batch_double"), (
+            lambda store, ckpt: run_one(cfg_dbl, store, cache=True,
+                                        weights=ckpt))
+    else:
+        raise ValueError(f"not a standard-base mode: {mode}")
+    return names, (lambda store, ckpt: run_one(cfg_var, store,
+                                               cache=True, weights=ckpt))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--fixture", choices=("v2", "v3"), default="v3",
@@ -219,6 +298,17 @@ def main(argv=None):
                                       "int8train_ps", "int8train_fo",
                                       "shipped"),
                    default="cache")
+    p.add_argument("--multi", default="",
+                   help="run SEVERAL standard-base campaigns over "
+                        "shared seeds in one process, e.g. "
+                        "'int8train_ps:0-15,aa:8-15:bench_artifacts/"
+                        "ab_aa_v3_s8.json' — per seed the pretrain and "
+                        "the cached-fp base arm run once and are "
+                        "shared; per-mode artifacts are written as "
+                        "ab_<mode>_<fixture>_s<N>.json next to --out. "
+                        "Ranges are inclusive; a third ':path' field "
+                        "resumes prior seeds below the range start. "
+                        "Overrides --mode/--seeds/--seed-start.")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu): the A/B is an "
                         "ACCURACY comparison — both arms on the same "
@@ -285,15 +375,15 @@ def main(argv=None):
         ckpt, pre_ap = pretrain(cfg_pre, store, args.pre_iters)
         print(f"[seed {seed_idx}] pretrain AP50 = {pre_ap:.2f}")
 
-        if args.mode == "aa":
-            # identical recipe both arms (the cached step_one recipe —
-            # the phase every knob campaign runs in); var arm perturbed
-            # at init. Any measured delta is pure fixture noise.
-            names = ("aa_base", "aa_perturbed")
+        if args.mode in STD_BASE_MODES:
+            # standard-base knobs (knob semantics defined once, in
+            # std_var): base arm = cached fp recipe; aa's var arm =
+            # same recipe with 1e-6-perturbed init (noise floor)
+            names, runner = std_var(args.mode, cfg_base, cfg_var,
+                                    args, root)
             base_ap, base_t = run_one(cfg_base, store, cache=True,
                                       weights=ckpt)
-            var_ap, var_t = run_one(cfg_var, store, cache=True,
-                                    weights=ckpt, perturb=True)
+            var_ap, var_t = runner(store, ckpt)
         elif args.mode == "cache":
             names = ("live", "cached")
             base_ap, base_t = run_one(cfg_base, store, cache=False,
@@ -306,82 +396,6 @@ def main(argv=None):
                                       weights=ckpt)
             cfg_var.TPU.TEACHER_FAST_HEAD = True
             var_ap, var_t = run_one(cfg_var, store, cache=False,
-                                    weights=ckpt)
-        elif args.mode == "roibatch":  # student ROI batch halved
-            names = ("roi_full", "roi_half")
-            base_ap, base_t = run_one(cfg_base, store, cache=True,
-                                      weights=ckpt)
-            cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE //= 2
-            var_ap, var_t = run_one(cfg_var, store, cache=True,
-                                    weights=ckpt)
-        elif args.mode == "roibatch75":
-            # the production 512 -> 384 cut at fixture scale (64 -> 48):
-            # a 25% res5-crop reduction — the largest remaining FLOP
-            # lever (BENCH.md ceiling table). The 50% cut failed its
-            # v2 A/B; this adjudicates the gentler cut on fixture v3.
-            names = ("roi_full", "roi_75")
-            base_ap, base_t = run_one(cfg_base, store, cache=True,
-                                      weights=ckpt)
-            cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = (
-                cfg_var.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE * 3) // 4
-            var_ap, var_t = run_one(cfg_var, store, cache=True,
-                                    weights=ckpt)
-        elif args.mode == "int8train_wx":
-            # the wgrad-exact int8 variant (TPU.INT8_TRAIN_WGRAD:
-            # false): int8 fwd+dgrad but bit-exact weight gradients —
-            # the fallback adjudicated when full int8 (--mode
-            # int8train) shows an AP cost, isolating whether wgrad
-            # quantization is the culprit. Same arms otherwise.
-            names = ("fp_train", "int8wx_train")
-            base_ap, base_t = run_one(cfg_base, store, cache=True,
-                                      weights=ckpt)
-            cfg_var.TPU.INT8_TRAIN = True
-            cfg_var.TPU.INT8_TRAIN_WGRAD = False
-            var_ap, var_t = run_one(cfg_var, store, cache=True,
-                                    weights=ckpt)
-        elif args.mode == "int8train":
-            # TPU.INT8_TRAIN: dynamic-int8 res5 training compute (int8
-            # fwd + dgrad + wgrad, ops/qconv.py) vs the exact path —
-            # both arms cached step_one (the phase 2/3 of scheduled
-            # images run in). The var arm also EVALUATES with the int8
-            # forward (train/test consistency), so the delta measures
-            # the knob's full end-to-end cost.
-            names = ("fp_train", "int8_train")
-            base_ap, base_t = run_one(cfg_base, store, cache=True,
-                                      weights=ckpt)
-            cfg_var.TPU.INT8_TRAIN = True
-            var_ap, var_t = run_one(cfg_var, store, cache=True,
-                                    weights=ckpt)
-        elif args.mode == "int8train_ps":
-            # per-SAMPLE activation/gradient scales
-            # (TPU.INT8_TRAIN_SCALE: sample + exact wgrad): the
-            # finer-forward-quantization lever staged when int8train_wx
-            # attributed the ~-1 AP50 cost to per-tensor activation
-            # scales (one outlier ROI crop sets the quantization step
-            # for all ~512 crops). Same arms as int8train otherwise.
-            names = ("fp_train", "int8ps_train")
-            base_ap, base_t = run_one(cfg_base, store, cache=True,
-                                      weights=ckpt)
-            cfg_var.TPU.INT8_TRAIN = True
-            cfg_var.TPU.INT8_TRAIN_WGRAD = False
-            cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
-            var_ap, var_t = run_one(cfg_var, store, cache=True,
-                                    weights=ckpt)
-        elif args.mode == "int8train_fo":
-            # int8 FORWARD only (per-sample scales), exact dgrad+wgrad
-            # (TPU.INT8_TRAIN_DGRAD: false): the most conservative
-            # staged probe — if even a quantized forward alone costs
-            # AP, the int8-training path is dead; if this passes while
-            # int8train_ps fails, the residual cost is dgrad
-            # quantization.
-            names = ("fp_train", "int8fo_train")
-            base_ap, base_t = run_one(cfg_base, store, cache=True,
-                                      weights=ckpt)
-            cfg_var.TPU.INT8_TRAIN = True
-            cfg_var.TPU.INT8_TRAIN_WGRAD = False
-            cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
-            cfg_var.TPU.INT8_TRAIN_DGRAD = False
-            var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
         elif args.mode == "refresh":
             # step_two teacher-refresh lever (TPU.TEACHER_REFRESH_EPOCHS):
@@ -443,15 +457,12 @@ def main(argv=None):
             cfg_var.TPU.INT8_COLLECT = True
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
-        else:  # batch[/_live]: double per-chip batch, linear LR, same
-            # epochs. 'batch' runs both arms cached (the step_one phase,
-            # where most iterations live); 'batch_live' runs both arms
-            # with the live teacher (step_two phase) — a mixed-batch
-            # recipe needs each phase's own verdict.
-            live = args.mode == "batch_live"
-            names = (("batch_base_live", "batch_double_live") if live
-                     else ("batch_base", "batch_double"))
-            base_ap, base_t = run_one(cfg_base, store, cache=not live,
+        else:  # batch_live: both arms with the LIVE teacher (step_two
+            # phase) — the cached-phase variant is the std 'batch' mode;
+            # a mixed-batch recipe needs each phase's own verdict.
+            assert args.mode == "batch_live", args.mode
+            names = ("batch_base_live", "batch_double_live")
+            base_ap, base_t = run_one(cfg_base, store, cache=False,
                                       weights=ckpt)
             cfg_dbl = build_cfg(root, cfg_var.OUTPUT_DIR,
                                 args.iters // 2,
@@ -463,74 +474,185 @@ def main(argv=None):
             cfg_dbl.SEED = cfg_var.SEED
             cfg_dbl.SOLVER.WARMUP_ITERS = \
                 cfg_base.SOLVER.WARMUP_ITERS // 2
-            var_ap, var_t = run_one(cfg_dbl, store, cache=not live,
+            var_ap, var_t = run_one(cfg_dbl, store, cache=False,
                                     weights=ckpt)
         return names, pre_ap, base_ap, var_ap, base_t, var_t
+
+    if args.multi:
+        run_multi(args, root, store)
+        return
 
     per_seed = []
     names = None
     if args.resume_from:
-        with open(args.resume_from) as f:
-            prior = json.load(f)
-        assert prior["mode"] == args.mode, "resume artifact mode mismatch"
-        assert prior.get("fixture", "v2") == args.fixture, \
-            "resume artifact fixture mismatch"
-        names = tuple(prior["arms"])
-        per_seed = [r for r in prior["per_seed"]
-                    if r["seed"] < args.seed_start]
-        print(f"[resume] merged {len(per_seed)} prior seeds from "
-              f"{args.resume_from}")
-    def last_k_mean(ap, k=3):
-        """Secondary endpoint (pre-registered for round-3+ seeds): mean
-        AP50 over the last k evals — a single final eval on this tiny
-        fixture swings tens of AP in the last 100 iters (the cache A/B's
-        seed-0 collapse, the budget A/B's seed-4 flip), so a smoothed
-        endpoint separates knob effects from late-fixture noise. The
-        PRIMARY endpoint/verdict stays the final eval for comparability
-        with earlier campaigns."""
-        if not ap:
-            return None
-        vals = [ap[k2] for k2 in sorted(ap, key=int)[-k:]]
-        return float(sum(vals) / len(vals))
+        names, per_seed = load_resume(args.resume_from, args.mode,
+                                      args.fixture, args.seed_start)
 
     for s in range(args.seed_start, args.seeds):
         names, pre_ap, base_ap, var_ap, base_t, var_t = run_seed(s)
-        fb = base_ap[max(base_ap, key=int)] if base_ap else None
-        fv = var_ap[max(var_ap, key=int)] if var_ap else None
-        ab, av = last_k_mean(base_ap), last_k_mean(var_ap)
-        excluded = pre_ap < EXCLUDE_PRETRAIN_AP_BELOW
-        per_seed.append({
-            "seed": s, "pretrain_ap50": pre_ap, "excluded": excluded,
-            f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
-            "final_base": fb, "final_var": fv,
-            "delta": (fv - fb) if fb is not None and fv is not None
-            else None,
-            "avg3_base": ab, "avg3_var": av,
-            "delta_avg3": (av - ab) if ab is not None and av is not None
-            else None,
-            f"{names[0]}_seconds": base_t, f"{names[1]}_seconds": var_t,
-        })
-        print(f"[seed {s}] final {names[0]}={fb} {names[1]}={fv}"
-              f"{' EXCLUDED (pretrain flatlined)' if excluded else ''}")
-        # incremental artifact: a cut-short campaign still leaves
-        # analyzable per-seed evidence, self-describing enough for a
-        # resume consumer to verify the setup matched (eval-set size,
-        # seed plan, platform — round-4 advisor finding)
-        import jax as _jax
-        with open(args.out + ".partial", "w") as f:
-            json.dump({"mode": args.mode, "fixture": args.fixture,
-                       "iters": args.iters,
-                       "pretrain_iters": args.pre_iters,
-                       "images": args.images,
-                       "eval_images": args.eval_images,
-                       "seeds": args.seeds,
-                       "platform": (args.platform
-                                    or _jax.default_backend()),
-                       "arms": list(names),
-                       "completed_seeds": len(per_seed),
-                       "per_seed": per_seed}, f, indent=2)
+        row = seed_row(names, s, pre_ap, base_ap, var_ap, base_t, var_t)
+        per_seed.append(row)
+        print(f"[seed {s}] final {names[0]}={row['final_base']} "
+              f"{names[1]}={row['final_var']}"
+              f"{' EXCLUDED (pretrain flatlined)' if row['excluded'] else ''}")
+        write_partial(args.out, args.mode, args, names, per_seed)
 
+    aggregate_and_write(args.mode, args, args.out, names, per_seed)
+
+
+def last_k_mean(ap, k=3):
+    """Secondary endpoint (pre-registered for round-3+ seeds): mean
+    AP50 over the last k evals — a single final eval on this tiny
+    fixture swings tens of AP in the last 100 iters (the cache A/B's
+    seed-0 collapse, the budget A/B's seed-4 flip), so a smoothed
+    endpoint separates knob effects from late-fixture noise. For
+    fixture v3 this IS the primary endpoint (pre-registered round 4);
+    for v2 the final eval stays primary for comparability."""
+    if not ap:
+        return None
+    vals = [ap[k2] for k2 in sorted(ap, key=int)[-k:]]
+    return float(sum(vals) / len(vals))
+
+
+def seed_row(names, s, pre_ap, base_ap, var_ap, base_t, var_t):
+    fb = base_ap[max(base_ap, key=int)] if base_ap else None
+    fv = var_ap[max(var_ap, key=int)] if var_ap else None
+    ab, av = last_k_mean(base_ap), last_k_mean(var_ap)
+    return {
+        "seed": s, "pretrain_ap50": pre_ap,
+        "excluded": pre_ap < EXCLUDE_PRETRAIN_AP_BELOW,
+        f"{names[0]}_ap50": base_ap, f"{names[1]}_ap50": var_ap,
+        "final_base": fb, "final_var": fv,
+        "delta": (fv - fb) if fb is not None and fv is not None
+        else None,
+        "avg3_base": ab, "avg3_var": av,
+        "delta_avg3": (av - ab) if ab is not None and av is not None
+        else None,
+        f"{names[0]}_seconds": base_t, f"{names[1]}_seconds": var_t,
+    }
+
+
+def load_resume(path, mode, fixture, seed_start):
+    with open(path) as f:
+        prior = json.load(f)
+    assert prior["mode"] == mode, "resume artifact mode mismatch"
+    assert prior.get("fixture", "v2") == fixture, \
+        "resume artifact fixture mismatch"
+    per_seed = [r for r in prior["per_seed"] if r["seed"] < seed_start]
+    print(f"[resume] {mode}: merged {len(per_seed)} prior seeds from "
+          f"{path}")
+    return tuple(prior["arms"]), per_seed
+
+
+def write_partial(out, mode, args, names, per_seed, seeds=None):
+    """Incremental artifact: a cut-short campaign still leaves
+    analyzable per-seed evidence, self-describing enough for a resume
+    consumer to verify the setup matched (eval-set size, seed plan,
+    platform — round-4 advisor finding)."""
+    import jax as _jax
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    with open(out + ".partial", "w") as f:
+        json.dump({"mode": mode, "fixture": args.fixture,
+                   "iters": args.iters,
+                   "pretrain_iters": args.pre_iters,
+                   "images": args.images,
+                   "eval_images": args.eval_images,
+                   "seeds": seeds or args.seeds,
+                   "platform": (args.platform
+                                or _jax.default_backend()),
+                   "arms": list(names),
+                   "completed_seeds": len(per_seed),
+                   "per_seed": per_seed}, f, indent=2)
+
+
+def parse_multi(spec):
+    """'mode:LO-HI[:resume.json]' comma-list; HI inclusive."""
+    out = []
+    for part in spec.split(","):
+        bits = part.split(":")
+        lo, hi = (int(x) for x in bits[1].split("-"))
+        out.append({"mode": bits[0], "lo": lo, "hi": hi + 1,
+                    "resume": bits[2] if len(bits) > 2 else ""})
+    return out
+
+
+def run_multi(args, root, store):
+    """Sweep several STANDARD-BASE campaign modes over shared seeds in
+    one process: per seed, the CLIPDET pretrain and the cached-fp base
+    arm run ONCE and every active mode's variant arm is paired against
+    that same base realization. Statistically each campaign's per-seed
+    delta distribution is unchanged (the pairing is what matters);
+    operationally this cuts a k-mode sweep's chip time ~(2+k)/(1+k/3)x
+    and — because all arms run in one process — keeps exactly the
+    same cross-arm determinism guarantees as the single-mode harness.
+    Artifacts disclose the sharing (base_arm_shared)."""
+    import tempfile
+
+    specs = parse_multi(args.multi)
+    for sp in specs:
+        assert sp["mode"] in STD_BASE_MODES, \
+            f"--multi supports standard-base modes only, got {sp}"
+        sp["rows"], sp["names"] = [], None
+        sp["out"] = os.path.join(
+            os.path.dirname(os.path.abspath(args.out)),
+            f"ab_{sp['mode']}_{args.fixture}_s{sp['hi']}.json")
+        if sp["resume"]:
+            sp["names"], sp["rows"] = load_resume(
+                sp["resume"], sp["mode"], args.fixture, sp["lo"])
+
+    for s in range(min(sp["lo"] for sp in specs),
+                   max(sp["hi"] for sp in specs)):
+        active = [sp for sp in specs if sp["lo"] <= s < sp["hi"]]
+        if not active:
+            continue
+        cfg_pre = build_cfg(root, tempfile.mkdtemp(prefix="ab_pre_"),
+                            args.pre_iters, 10 ** 9,
+                            fixture=args.fixture)
+        cfg_base = build_cfg(root, tempfile.mkdtemp(prefix="ab_base_"),
+                             args.iters, args.eval_every,
+                             fixture=args.fixture)
+        for c in (cfg_pre, cfg_base):
+            c.SEED = 2024 + 101 * s
+        ckpt, pre_ap = pretrain(cfg_pre, store, args.pre_iters)
+        print(f"[seed {s}] pretrain AP50 = {pre_ap:.2f} (shared by "
+              f"{[sp['mode'] for sp in active]})", flush=True)
+        base_ap, base_t = run_one(cfg_base, store, cache=True,
+                                  weights=ckpt)
+        for sp in active:
+            cfg_var = build_cfg(root,
+                                tempfile.mkdtemp(prefix="ab_var_"),
+                                args.iters, args.eval_every,
+                                fixture=args.fixture)
+            cfg_var.SEED = 2024 + 101 * s
+            names, runner = std_var(sp["mode"], cfg_base, cfg_var,
+                                    args, root)
+            var_ap, var_t = runner(store, ckpt)
+            sp["names"] = names
+            row = seed_row(names, s, pre_ap, base_ap, var_ap,
+                           base_t, var_t)
+            row["base_shared"] = True
+            sp["rows"].append(row)
+            print(f"[seed {s}] {sp['mode']}: final {names[0]}="
+                  f"{row['final_base']} {names[1]}={row['final_var']}"
+                  f" d_avg3={row['delta_avg3']}", flush=True)
+            write_partial(sp["out"], sp["mode"], args, names,
+                          sp["rows"], seeds=sp["hi"])
+
+    shared_note = ("pretrain + cached-fp base arm run once per seed, "
+                   "shared across modes "
+                   + str([sp["mode"] for sp in specs])
+                   + " (same-process pairing; per-campaign delta "
+                     "distributions unchanged)")
+    for sp in specs:
+        aggregate_and_write(sp["mode"], args, sp["out"], sp["names"],
+                            sp["rows"], seeds=sp["hi"],
+                            extra={"base_arm_shared": shared_note})
+
+
+def aggregate_and_write(mode, args, out, names, per_seed, seeds=None,
+                        extra=None):
     import numpy as np
+    v3 = args.fixture == "v3"
     used = [r for r in per_seed
             if not r["excluded"] and r["delta"] is not None]
     deltas = [r["delta"] for r in used]
@@ -561,10 +683,10 @@ def main(argv=None):
         p_mean, p_sd, p_ci = mean, sd, ci
         primary = "final"
     report = {
-        "mode": args.mode, "fixture": args.fixture, "iters": args.iters,
+        "mode": mode, "fixture": args.fixture, "iters": args.iters,
         "pretrain_iters": args.pre_iters, "images": args.images,
         "eval_images": args.eval_images,
-        "seeds": args.seeds, "arms": list(names),
+        "seeds": seeds or args.seeds, "arms": list(names),
         "exclusion_rule": f"pretrain AP50 < {EXCLUDE_PRETRAIN_AP_BELOW}"
                           " (pre-registered)",
         "n_functional": n,
@@ -600,7 +722,9 @@ def main(argv=None):
                         " < 0",
         "per_seed": per_seed,
     }
-    if args.mode == "aa":
+    if extra:
+        report.update(extra)
+    if mode == "aa":
         # noise-floor statement: the fixture can adjudicate knobs whose
         # true effect exceeds ~the CI half-width at the campaign's n
         report["noise_floor_sd"] = p_sd
@@ -609,8 +733,8 @@ def main(argv=None):
         report["verdict_rule"] = ("aa mode measures the noise floor; "
                                   "target: primary-endpoint delta SD "
                                   "<= 2 AP50")
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    with open(args.out, "w") as f:
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items()
                       if k != "per_seed"}, indent=2))
