@@ -96,6 +96,15 @@ def _is_relay_backend() -> bool:
         return False
 
 
+# The TrainState leaves that dominate HBM (three same-sized trees:
+# student params, SGD momentum, EMA teacher). "hot" donation donates
+# exactly these — the round-5 bisect (tools/probe_donate_bisect, logged
+# in BENCH.md) showed the axon relay accepts donation of these heavy
+# leaves and rejects the step only when the SMALL leaves
+# (prototypes/merge/rng/step) are donated alongside them.
+_HOT_FIELDS = ("params", "opt_state", "teacher_params")
+
+
 def jit_train_step(fn, donate_default: bool = True):
     """jit a `(state, *batch) -> (state, aux)` train step, donating the
     TrainState on accelerator backends. Donation lets XLA alias the
@@ -103,28 +112,70 @@ def jit_train_step(fn, donate_default: bool = True):
     double-buffering them (the TrainState dominates HBM at production
     scale).
 
-    Exceptions:
-    - CPU backend: the virtual multi-device mesh crashes when donated
-      buffers alias across a collective rendezvous (see BENCH.md) —
-      always plain jit.
-    - Remote-TPU relays (detected via the 'axon' platform string):
-      donation defaults OFF. Root-caused in round 2
-      (tools/probe_donation.py + A/B evidence): the relay rejects the
-      FIRST EXECUTION of any donated train step with an opaque
-      INVALID_ARGUMENT — the identical step runs with donation
-      disabled, so it is a relay/transport limitation, not an aliasing
-      bug in the step. Direct-attached TPUs keep donation on by
-      default. ``COIN_TPU_DONATE=1`` / ``=0`` force either way.
+    Donation modes (``COIN_TPU_DONATE`` = ``0`` / ``1`` / ``hot``):
+    - **full** (``1``): donate the whole TrainState — the default on
+      direct-attached TPUs.
+    - **hot** (``hot``): donate only params/opt_state/teacher_params
+      via a split-state inner jit. Same HBM win (those three trees are
+      ~all of the state), but avoids donating the small leaves the
+      axon relay rejects (round-5 bisect: full donation of the real
+      dual-teacher step dies with INVALID_ARGUMENT exactly when
+      prototypes/merge/rng/step are in the donated set; the heavy
+      three alone run fine). ``frozen`` — pass-through by contract in
+      every step_builder step — is re-attached host-side so it is
+      neither donated nor copied through the jit boundary.
+    - **off** (``0``): plain jit.
+
+    Defaults: CPU → off (the virtual multi-device mesh crashes when
+    donated buffers alias across a collective rendezvous, see
+    BENCH.md); axon relay → off pending the hot-mode A/B below;
+    direct-attached TPU → full.
     """
     import os
     env = os.environ.get("COIN_TPU_DONATE", "")
     if env:
-        donate = env == "1"
+        mode = {"0": "off", "1": "full", "full": "full",
+                "hot": "hot"}.get(env, "off")
     else:
-        donate = donate_default and not _is_relay_backend()
-    if jax.default_backend() == "cpu" or not donate:
+        if jax.default_backend() == "cpu" or not donate_default:
+            mode = "off"
+        elif _is_relay_backend():
+            mode = "off"
+        else:
+            mode = "full"
+    if mode == "off":
         return jax.jit(fn)
-    return jax.jit(fn, donate_argnums=(0,))
+    if jax.default_backend() == "cpu" and mode == "full":
+        return jax.jit(fn)
+    if mode == "full":
+        return jax.jit(fn, donate_argnums=(0,))
+
+    # hot: split the state so ONLY the heavy evolving trees cross the
+    # boundary as donated buffers. `frozen` (pass-through by contract
+    # in every step_builder/pre_train step) stays a plain INPUT — free
+    # — but is stripped from the jitted OUTPUT (returning a non-donated
+    # input would copy it every step) and re-attached host-side.
+    def inner_fn(hot, cold, *batch):
+        state = cold.replace(**hot)
+        new_state, aux = fn(state, *batch)
+        new_hot = {f: getattr(new_state, f) for f in _HOT_FIELDS}
+        new_cold = new_state.replace(
+            frozen=None, **{f: None for f in _HOT_FIELDS})
+        return new_hot, new_cold, aux
+
+    if jax.default_backend() == "cpu":
+        inner = jax.jit(inner_fn)
+    else:
+        inner = jax.jit(inner_fn, donate_argnums=(0,))
+
+    def wrapper(state, *batch):
+        hot = {f: getattr(state, f) for f in _HOT_FIELDS}
+        cold = state.replace(**{f: None for f in _HOT_FIELDS})
+        new_hot, new_cold, aux = inner(hot, cold, *batch)
+        return new_cold.replace(frozen=state.frozen, **new_hot), aux
+
+    wrapper.__wrapped__ = fn
+    return wrapper
 
 
 def ema_update(teacher: Dict, student: Dict, keep_rate: float) -> Dict:

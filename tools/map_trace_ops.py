@@ -46,8 +46,13 @@ def build_step(flavor: str):
     from coin_tpu.structures import Detections
 
     num_classes, b, h, w, cap = 8, 3, 608, 1216, 128
+    # int8-training flavors mirror trace_step.py: qt=1 full int8,
+    # qt=2 wgrad-exact, qt=3 per-sample scales
+    qt = {"cached_i8": 1, "cached_i8wx": 2, "cached_i8ps": 3}.get(
+        flavor, 0)
     model = OpenVocabularyRCNN(num_classes=num_classes, depth=50,
-                               compute_dtype=jnp.bfloat16)
+                               compute_dtype=jnp.bfloat16,
+                               quant_train_res5=qt)
     pcfg = pipelines.PipelineConfig(
         num_classes=num_classes, pre_nms_topk_train=6000,
         post_nms_topk_train=1000, pre_nms_topk_test=6000,
@@ -97,7 +102,7 @@ def build_step(flavor: str):
     live, cached = build_adaptation_steps(
         model, merge_model, tx, merge_tx, tokens, pcfg, pcfg,
         StepHyper(burn_up=10, proto_start=0))
-    if flavor == "cached":
+    if flavor.startswith("cached"):
         return cached, (state, images_u8, image_hw, online_rcnn,
                         online_rpn, offline)
     return live, (state, images_u8, image_hw, online_rcnn,
@@ -196,7 +201,9 @@ def rollup(trace_dir: str, op_info, depth: int):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--flavor", default="cached", choices=("cached", "live"))
+    p.add_argument("--flavor", default="cached",
+                   choices=("cached", "live", "cached_i8", "cached_i8wx",
+                            "cached_i8ps"))
     p.add_argument("--ops", default="")
     p.add_argument("--top-from", default="")
     p.add_argument("--top", type=int, default=25)

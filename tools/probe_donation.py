@@ -118,6 +118,31 @@ def main():
               f"{str(e).splitlines()[0][:300]}")
         traceback.print_exc(limit=5)
 
+    # 5: the same real step under HOT donation (params/opt_state/
+    # teacher_params only — engine/state.jit_train_step 'hot' mode).
+    # The round-5 bisect showed the axon relay accepts donation of the
+    # three heavy trees and rejects the step only when the small
+    # leaves (prototypes/merge/rng/step) join the donated set; this
+    # stage verifies the shipped wrapper end-to-end on the backend.
+    # Run in a SUBPROCESS: a failed donated execution (stage 4 on the
+    # relay) can wedge the parent's backend state and cascade-fail
+    # every later execution in-process (observed in the round-5
+    # bisect).
+    import subprocess
+    print("probing the real CoinTrainer step with COIN_TPU_DONATE=hot …",
+          flush=True)
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--hot-only"],
+        env={**os.environ, "COIN_TPU_DONATE": "hot"},
+        capture_output=True, text=True, timeout=1200)
+    tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
+    if r.returncode == 0 and "[OK]" in r.stdout:
+        print("[OK]   real dual-teacher step donated (hot)")
+    else:
+        print(f"[FAIL] real dual-teacher step (hot): rc={r.returncode}")
+        for ln in tail:
+            print("   " + ln[:200])
+
 
 def _probe_real_step():
     import dataclasses as dc
@@ -247,4 +272,10 @@ def _probe_real_step():
 
 
 if __name__ == "__main__":
-    main()
+    if "--hot-only" in sys.argv:
+        # subprocess entry for stage 5: run ONLY the real step under
+        # the COIN_TPU_DONATE mode inherited from the environment
+        _probe_real_step()
+        print("[OK]")
+    else:
+        main()
