@@ -256,6 +256,18 @@ def main():
         hyper, with_cached_two=True)
     variants["cached_i8ps"] = (cached_i8ps, True, b)
     variants["cached_two_i8ps"] = (cached_two_i8ps, True, b)
+    # + int8 RoIAlign (TPU.INT8_ROI, ops/roi_align.roi_align_int8):
+    # both pooling contractions on the int8 MXU with an s8
+    # intermediate — the round-5 trace puts RoIAlign at 14 ms of the
+    # 96.8 ms int8 step, bandwidth-bound on a 1.9 GB bf16
+    # intermediate int8 compute does not touch. Headroom flavor until
+    # its own A/B (same gate as every int8 lever).
+    model_i8roi = model.clone(quant_train_res5=3, quant_roi=True)
+    _, cached_i8roi, cached_two_i8roi = build_adaptation_steps(
+        model_i8roi, merge_model, tx, merge_tx, tokens, pcfg,
+        pcfg_t512, hyper, with_cached_two=True)
+    variants["cached_i8roi"] = (cached_i8roi, True, b)
+    variants["cached_two_i8roi"] = (cached_two_i8roi, True, b)
 
     # student ROI batch 512 -> 384 (the roibatch75 knob): a 25% cut of
     # the res5-crop FLOPs, adjudicated by --mode roibatch75 on fixture
@@ -466,6 +478,14 @@ def main():
     weighted_int8train_ps = (sched(rate["cached_i8ps"], eff_two_i8ps)
                              if eff_two_i8ps and "cached_i8ps" in rate
                              else None)
+    # ps + int8 RoIAlign (TPU.INT8_ROI): the round-5 bandwidth lever on
+    # the same ps recipe — headroom until its own A/B artifact
+    eff_two_i8roi = eff_refresh(rate.get("collect_int8")
+                                or rate.get("collect"),
+                                rate.get("cached_two_i8roi"))
+    weighted_int8train_ps_roi = (
+        sched(rate["cached_i8roi"], eff_two_i8roi)
+        if eff_two_i8roi and "cached_i8roi" in rate else None)
     eff_two_r384 = eff_refresh(rate["collect"],
                                rate.get("cached_two_r384"))
     weighted_r384 = (sched(rate["cached_r384"], eff_two_r384)
@@ -526,6 +546,14 @@ def main():
            if "cached_i8ps" in rate else {}),
         "weighted_int8train_ps": (round(weighted_int8train_ps, 3)
                                   if weighted_int8train_ps else None),
+        **({"cached_int8train_ps_roi_step": round(
+                rate["cached_i8roi"], 3),
+            "cached_two_int8train_ps_roi_step": round(
+                rate["cached_two_i8roi"], 3)}
+           if "cached_i8roi" in rate else {}),
+        "weighted_int8train_ps_roi": (
+            round(weighted_int8train_ps_roi, 3)
+            if weighted_int8train_ps_roi else None),
         # roibatch75 knob (student ROI 512->384) — headroom until its
         # A/B artifact lands (--mode roibatch75)
         **({"cached_r384_step": round(rate["cached_r384"], 3),

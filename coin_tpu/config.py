@@ -283,6 +283,12 @@ def default_config() -> CfgNode:
             # (--mode int8train_fo), isolating forward-activation
             # quantization from gradient quantization entirely.
             "INT8_TRAIN_DGRAD": True,
+            # dynamic-int8 RoIAlign (ops/roi_align.roi_align_int8): both
+            # pooling contractions on the int8 MXU, s8 intermediate
+            # (halves the 1.9 GB/step RoIAlign bandwidth of the int8
+            # training step). Straight-through exact backward. Semantic
+            # knob — ships only with its own fixture A/B artifact.
+            "INT8_ROI": False,
             # step_two teacher-refresh period in epochs (0 = off = exact
             # parity): predictions from a batched collection pass every N
             # epochs instead of a per-step teacher tower. Staleness

@@ -148,6 +148,7 @@ class DetectorTrainerBase:
                       else 1 if cfg.get_path("TPU.INT8_TRAIN_WGRAD",
                                              True)
                       else 2)),
+            quant_roi=cfg.get_path("TPU.INT8_ROI", False),
         )
         self.pcfg = pipeline_config_from(cfg, self.num_classes)
         self.loss_weights = loss_weights_from(cfg)

@@ -25,7 +25,7 @@ from coin_tpu.models.clip_resnet import (AttentionPool2d, CLIPResNetBackbone,
 from coin_tpu.models.rpn import RPNHead
 from coin_tpu.models.roi_heads import BoxPredictor
 from coin_tpu.models.text_encoder import PromptedTextEncoder, TextTransformer
-from coin_tpu.ops.roi_align import roi_align
+from coin_tpu.ops.roi_align import roi_align, roi_align_int8
 
 # CLIP text-feature dims per visual backbone (fast_rcnn.py:283:
 # RN50 1024, RN101 512, RN50x4 640, RN50x16 768)
@@ -60,6 +60,12 @@ class OpenVocabularyRCNN(nn.Module):
     # activation/gradient scales + exact wgrad (TPU.INT8_TRAIN_SCALE:
     # sample). A semantic knob gated on its fixture-v3 A/B (BENCH.md).
     quant_train_res5: int = 0
+    # dynamic-int8 RoIAlign (TPU.INT8_ROI, ops/roi_align.roi_align_int8):
+    # both pooling contractions on the int8 MXU with an s8 intermediate
+    # (the 1.9 GB/step bandwidth block of the int8 training step —
+    # BENCH.md round 5). Straight-through exact backward. Semantic knob,
+    # same A/B gate as every int8 lever.
+    quant_roi: bool = False
 
     def setup(self):
         cfg = DEPTH_CFG[self.depth]
@@ -112,9 +118,11 @@ class OpenVocabularyRCNN(nn.Module):
         tensor at the implicit collapse (0.7 GB/step at production
         shapes; round-3 trace).
         """
+        ra = roi_align_int8 if self.quant_roi else roi_align
+
         def single(f, b):
-            return roi_align(f, b, 1.0 / 16.0, resolution=resolution,
-                             sampling_ratio=2)
+            return ra(f, b, 1.0 / 16.0, resolution=resolution,
+                      sampling_ratio=2)
         x = jax.vmap(single)(feats, boxes)          # (B, N, r, r, C)
         bsz, n = x.shape[0], x.shape[1]
         x = x.reshape((bsz * n,) + x.shape[2:])

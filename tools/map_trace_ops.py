@@ -48,11 +48,12 @@ def build_step(flavor: str):
     num_classes, b, h, w, cap = 8, 3, 608, 1216, 128
     # int8-training flavors mirror trace_step.py: qt=1 full int8,
     # qt=2 wgrad-exact, qt=3 per-sample scales
-    qt = {"cached_i8": 1, "cached_i8wx": 2, "cached_i8ps": 3}.get(
-        flavor, 0)
+    qt = {"cached_i8": 1, "cached_i8wx": 2, "cached_i8ps": 3,
+          "cached_i8roi": 3}.get(flavor, 0)
     model = OpenVocabularyRCNN(num_classes=num_classes, depth=50,
                                compute_dtype=jnp.bfloat16,
-                               quant_train_res5=qt)
+                               quant_train_res5=qt,
+                               quant_roi=(flavor == "cached_i8roi"))
     pcfg = pipelines.PipelineConfig(
         num_classes=num_classes, pre_nms_topk_train=6000,
         post_nms_topk_train=1000, pre_nms_topk_test=6000,
@@ -203,7 +204,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--flavor", default="cached",
                    choices=("cached", "live", "cached_i8", "cached_i8wx",
-                            "cached_i8ps"))
+                            "cached_i8ps", "cached_i8roi"))
     p.add_argument("--ops", default="")
     p.add_argument("--top-from", default="")
     p.add_argument("--top", type=int, default=25)

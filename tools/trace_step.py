@@ -122,11 +122,12 @@ def capture(flavor: str, steps: int, logdir: str):
     # int8-training flavors trace the quantized res5 tower (the 41%-of-
     # ceiling efficiency question, VERDICT r4 item 5): qt=1 full int8,
     # qt=2 wgrad-exact, qt=3 per-sample scales
-    qt = {"cached_i8": 1, "cached_i8wx": 2, "cached_i8ps": 3}.get(
-        flavor, 0)
+    qt = {"cached_i8": 1, "cached_i8wx": 2, "cached_i8ps": 3,
+          "cached_i8roi": 3}.get(flavor, 0)
     model = OpenVocabularyRCNN(num_classes=num_classes, depth=50,
                                compute_dtype=jnp.bfloat16,
-                               quant_train_res5=qt)
+                               quant_train_res5=qt,
+                               quant_roi=(flavor == "cached_i8roi"))
     pcfg = pipelines.PipelineConfig(
         num_classes=num_classes, pre_nms_topk_train=6000,
         post_nms_topk_train=1000, pre_nms_topk_test=6000,
@@ -198,7 +199,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--flavor", default="live",
                    choices=("live", "cached", "cached_i8", "cached_i8wx",
-                            "cached_i8ps"))
+                            "cached_i8ps", "cached_i8roi"))
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--logdir", default="/tmp/coin_trace")
     p.add_argument("--parse-only", default="")

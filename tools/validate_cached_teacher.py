@@ -187,7 +187,7 @@ def run_one(cfg, store, cache: bool, weights: str = "",
 # (cache, fasthead, budget, refresh*, shipped, batch_live) cannot.
 STD_BASE_MODES = ("aa", "roibatch", "roibatch75", "int8train",
                   "int8train_wx", "int8train_ps", "int8train_fo",
-                  "batch")
+                  "int8train_ps_roi", "batch")
 
 
 def std_var(mode, cfg_base, cfg_var, args, root):
@@ -210,6 +210,10 @@ def std_var(mode, cfg_base, cfg_var, args, root):
       int8train_fo — int8 per-sample FORWARD only, exact dgrad+wgrad
                      (TPU.INT8_TRAIN_DGRAD: false) — the most
                      conservative staged probe
+      int8train_ps_roi — the ps recipe plus int8 RoIAlign
+                     (TPU.INT8_ROI) — the round-5 bandwidth lever;
+                     adjudicates the pooling quantization on top of
+                     per-sample int8 res5
       batch        — per-chip batch doubled, linear LR, half the
                      iterations (same images seen)
     """
@@ -236,6 +240,12 @@ def std_var(mode, cfg_base, cfg_var, args, root):
         cfg_var.TPU.INT8_TRAIN_WGRAD = False
         cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
         names = ("fp_train", "int8ps_train")
+    elif mode == "int8train_ps_roi":
+        cfg_var.TPU.INT8_TRAIN = True
+        cfg_var.TPU.INT8_TRAIN_WGRAD = False
+        cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
+        cfg_var.TPU.INT8_ROI = True
+        names = ("fp_train", "int8psroi_train")
     elif mode == "int8train_fo":
         cfg_var.TPU.INT8_TRAIN = True
         cfg_var.TPU.INT8_TRAIN_WGRAD = False
@@ -296,7 +306,8 @@ def main(argv=None):
                                       "refresh_int8", "roibatch75",
                                       "int8train", "int8train_wx",
                                       "int8train_ps", "int8train_fo",
-                                      "shipped"),
+                                      "int8train_ps_roi", "shipped",
+                                      "shipped_i8"),
                    default="cache")
     p.add_argument("--multi", default="",
                    help="run SEVERAL standard-base campaigns over "
@@ -436,7 +447,7 @@ def main(argv=None):
             cfg_var.TPU.TEACHER_POST_NMS_TOPK = 32
             var_ap, var_t = run_one(cfg_var, store, cache=False,
                                     weights=ckpt)
-        elif args.mode == "shipped":
+        elif args.mode in ("shipped", "shipped_i8"):
             # the FULL shipped foggy_fast recipe vs strict parity, at
             # fixture scale, with the production phase split (step_one
             # ≈ 2/3 of images cached, step_two ≈ 1/3 refreshed): one
@@ -445,7 +456,11 @@ def main(argv=None):
             # int8 collection). Per-knob −2 margins cannot bound the
             # stack — three individually-passing −0.5 costs would blow
             # the ±0.3 Foggy parity budget (VERDICT r4 weak-3).
-            names = ("parity", "shipped")
+            # shipped_i8 additionally stacks the per-sample int8
+            # training knob (TPU.INT8_TRAIN + SCALE sample + exact
+            # wgrad) — the PROSPECTIVE recipe if --mode int8train_ps
+            # passes; adjudicating the stack it would actually ship in.
+            names = ("parity", args.mode)
             bu = (args.iters * 2) // 3
             cfg_base.CLOUD.BURN_UP_STEP = bu
             cfg_var.CLOUD.BURN_UP_STEP = bu
@@ -455,6 +470,10 @@ def main(argv=None):
             cfg_var.TPU.TEACHER_POST_NMS_TOPK = 32
             cfg_var.TPU.TEACHER_REFRESH_EPOCHS = 4
             cfg_var.TPU.INT8_COLLECT = True
+            if args.mode == "shipped_i8":
+                cfg_var.TPU.INT8_TRAIN = True
+                cfg_var.TPU.INT8_TRAIN_WGRAD = False
+                cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
         else:  # batch_live: both arms with the LIVE teacher (step_two
