@@ -464,6 +464,15 @@ def main():
                               rate.get("cached_two_i8"))
     weighted_int8train = (sched(rate["cached_i8"], eff_two_i8t)
                           if eff_two_i8t else None)
+    # the round-5 SHIPPED recipe: int8 training steps (--mode int8train
+    # PASS n=16, ab_int8train_v3_s16) + int8 collection (refresh_int8
+    # PASS) — foggy_fast.yaml's exact knob set
+    eff_two_i8t_i8c = eff_refresh(rate.get("collect_int8")
+                                  or rate.get("collect"),
+                                  rate.get("cached_two_i8"))
+    weighted_int8train_i8collect = (
+        sched(rate["cached_i8"], eff_two_i8t_i8c)
+        if eff_two_i8t_i8c and "cached_i8" in rate else None)
     eff_two_i8wx = eff_refresh(rate["collect"],
                                rate.get("cached_two_i8wx"))
     weighted_int8train_wx = (sched(rate["cached_i8wx"], eff_two_i8wx)
@@ -490,12 +499,14 @@ def main():
                                rate.get("cached_two_r384"))
     weighted_r384 = (sched(rate["cached_r384"], eff_two_r384)
                      if eff_two_r384 else None)
-    # HEADLINE = the foggy_fast.yaml recipe: cached step_one + refresh
-    # step_two (TEACHER_REFRESH_EPOCHS=4) with INT8 collection — every
-    # knob carries a fixture-v3 A/B PASS (ab_refresh_v3_s8,
-    # ab_budget_v3_s8, ab_refresh_int8_v3_s8). bf16-collect fallback if
-    # the int8 serving clone failed to compile.
-    headline = weighted_refresh_int8 or weighted_refresh
+    # HEADLINE = the foggy_fast.yaml recipe: INT8 cached step_one +
+    # refresh step_two (TEACHER_REFRESH_EPOCHS=4) with INT8 collection
+    # — every knob carries a fixture-v3 A/B PASS on the A/A-calibrated
+    # harness (ab_refresh_v3_s8, ab_budget_v3_s8, ab_refresh_int8_v3_s8,
+    # and round 5's ab_int8train_v3_s16 at n=16). Falls back to the
+    # bf16-training refresh recipe if an int8 flavor failed to compile.
+    headline = (weighted_int8train_i8collect or weighted_refresh_int8
+                or weighted_refresh)
     print(json.dumps({
         "metric": "adaptation_images_per_sec_per_chip",
         "value": round(headline, 3),
@@ -534,6 +545,9 @@ def main():
            if "cached_i8" in rate else {}),
         "weighted_int8train": (round(weighted_int8train, 3)
                                if weighted_int8train else None),
+        "weighted_int8train_i8collect": (
+            round(weighted_int8train_i8collect, 3)
+            if weighted_int8train_i8collect else None),
         **({"cached_int8train_wx_step": round(rate["cached_i8wx"], 3),
             "cached_two_int8train_wx_step": round(
                 rate["cached_two_i8wx"], 3)}

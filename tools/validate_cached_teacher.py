@@ -456,10 +456,11 @@ def main(argv=None):
             # int8 collection). Per-knob −2 margins cannot bound the
             # stack — three individually-passing −0.5 costs would blow
             # the ±0.3 Foggy parity budget (VERDICT r4 weak-3).
-            # shipped_i8 additionally stacks the per-sample int8
-            # training knob (TPU.INT8_TRAIN + SCALE sample + exact
-            # wgrad) — the PROSPECTIVE recipe if --mode int8train_ps
-            # passes; adjudicating the stack it would actually ship in.
+            # shipped_i8 additionally stacks the int8 training knob
+            # (TPU.INT8_TRAIN, full: int8 fwd+dgrad+wgrad) — the
+            # round-5 shipped recipe after --mode int8train PASSed at
+            # n=16 (+0.24, CI [-0.77,+1.24], ab_int8train_v3_s16);
+            # adjudicating the stack it actually ships in.
             names = ("parity", args.mode)
             bu = (args.iters * 2) // 3
             cfg_base.CLOUD.BURN_UP_STEP = bu
@@ -472,8 +473,6 @@ def main(argv=None):
             cfg_var.TPU.INT8_COLLECT = True
             if args.mode == "shipped_i8":
                 cfg_var.TPU.INT8_TRAIN = True
-                cfg_var.TPU.INT8_TRAIN_WGRAD = False
-                cfg_var.TPU.INT8_TRAIN_SCALE = "sample"
             var_ap, var_t = run_one(cfg_var, store, cache=True,
                                     weights=ckpt)
         else:  # batch_live: both arms with the LIVE teacher (step_two
